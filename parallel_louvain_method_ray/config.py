@@ -1,0 +1,52 @@
+"""Engine configuration.
+
+The reference hard-codes its parallelism as the MPI ``comm_size`` and a
+contiguous block vertex partition (``/root/reference/src/graph.cpp:123-134``,
+``owner(v) = v / local_vcount``, which requires N % P == 0). Here "P" is an
+explicit engine parameter and the partition function is ``src % P`` over the
+densely renumbered vertex ids — balanced without the divisibility constraint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class EngineConfig:
+    # Number of vertex partitions (CSR shards). On a real cluster this should
+    # be a small multiple of total cores; locally keep it modest so per-shard
+    # batches stay chunky.
+    num_partitions: int = 8
+
+    # Rows per batch for edge-stream map_batches stages.
+    edge_batch_size: int = 65536
+
+    # Rows per batch for page-table stages (wide `html:binary` rows — keep
+    # batches small so batch x concurrency fits the worker heap).
+    page_batch_size: int = 256
+
+    # Max sweeps per Louvain level (safety cap; the reference loops until a
+    # sweep makes 0 moves — `src/community.cpp:69-101`).
+    max_sweeps: int = 64
+
+    # Max Louvain levels (coarsening rounds).
+    max_levels: int = 32
+
+    # Stop a level early if modularity improved by less than this for
+    # `stall_sweeps` consecutive sweeps (guards against cross-partition
+    # oscillation that the reference damps with a temperature —
+    # `src/distcommunity.cpp:549-562`; our BSP kernel is deterministic, so a
+    # stall detector is enough).
+    stall_eps: float = 1e-12
+    stall_sweeps: int = 3
+
+    # Degree above which a vertex is treated as a hub for salted two-stage
+    # aggregations (None = auto from the degree histogram).
+    hub_degree_threshold: int | None = None
+
+    # Checkpoint directory (None = no checkpointing).
+    checkpoint_dir: str | None = None
+
+
+DEFAULT_CONFIG = EngineConfig()
