@@ -26,6 +26,10 @@ Design rules (see SURVEY.md §4):
 """
 
 from parallel_louvain_method_ray.config import EngineConfig
+from parallel_louvain_method_ray import graph, algos
+from parallel_louvain_method_ray._pickle import ensure_registered
 
-__all__ = ["EngineConfig"]
+ensure_registered()
+
+__all__ = ["EngineConfig", "graph", "algos", "ensure_registered"]
 __version__ = "0.1.0"

@@ -52,12 +52,14 @@ def _sweep_pass(
     assign_ref,
     tot_ref,
     tie_break: str,
+    m2: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Run the local-move kernel on every shard; returns (changed_vids,
     new_comms, moves). Each task copies the broadcast state (its snapshot)
     and mutates only the copy — Grappolo-style BSP."""
     deg_ref = graph.degrees_ref
-    m2 = 2.0 * graph.m
+    if m2 is None:
+        m2 = 2.0 * graph.m
 
     def kernel(batch: pa.Table) -> pa.Table:
         assign = np.array(ray.get(assign_ref))  # writable snapshot copies
@@ -122,9 +124,22 @@ def intra_community_weight(graph: GraphHandle, assign_ref) -> float:
     return total
 
 
-def modularity(graph: GraphHandle, assign: np.ndarray) -> float:
+def _m2(graph: GraphHandle, m_mode: str) -> float:
+    """2m for the modularity/gain formulas.
+
+    - "count" (default): 2 * edge COUNT — the reference's quirk
+      (`community.cpp:51` uses `g.ecount`, an entry count, not the weight
+      sum; required for golden parity);
+    - "weight": the standard Louvain 2m = total entry weight (use for
+      weighted graphs where the count quirk distorts the scale).
+    For unit-weight level-0 graphs the two are identical.
+    """
+    return 2.0 * graph.m if m_mode == "count" else graph.total_weight
+
+
+def modularity(graph: GraphHandle, assign: np.ndarray, m_mode: str = "count") -> float:
     """Q = intra/2m - sum_{tot_c>0} (tot_c/2m)^2  (`community.cpp:49-60`)."""
-    m2 = 2.0 * graph.m
+    m2 = _m2(graph, m_mode)
     deg = graph.degrees()
     tot = np.bincount(assign, weights=deg, minlength=graph.n)
     assign_ref = ray.put(assign)
@@ -216,6 +231,7 @@ def louvain_level(
     on_sweep=None,
     start_assign: np.ndarray | None = None,
     start_sweep: int = 0,
+    m_mode: str = "count",
 ) -> tuple[np.ndarray, bool, LevelMetrics]:
     """One Louvain level (the reference's `iterate()`,
     `community.cpp:64-102`): BSP sweeps until 0 moves. Returns
@@ -230,14 +246,14 @@ def louvain_level(
         else np.arange(n, dtype=np.int64)
     )
     metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
-    metrics.modularity_before = modularity(graph, assign)
+    metrics.modularity_before = modularity(graph, assign, m_mode)
     improved = False
     last_q = metrics.modularity_before
     stall = 0
     for sweep in range(start_sweep, cfg.max_sweeps):
         tot = np.bincount(assign, weights=deg, minlength=n)
         cv, cc, moves = _sweep_pass(
-            graph, ray.put(assign), ray.put(tot), tie_break
+            graph, ray.put(assign), ray.put(tot), tie_break, _m2(graph, m_mode)
         )
         if moves:
             assign[cv] = cc
@@ -250,7 +266,7 @@ def louvain_level(
             break
         # oscillation guard (P>1 only; at P=1 the kernel is exactly the
         # sequential algorithm and terminates via moves==0)
-        q = modularity(graph, assign)
+        q = modularity(graph, assign, m_mode)
         if q - last_q < cfg.stall_eps:
             stall += 1
             if stall >= cfg.stall_sweeps:
@@ -258,7 +274,7 @@ def louvain_level(
         else:
             stall = 0
         last_q = q
-    metrics.modularity_after = modularity(graph, assign)
+    metrics.modularity_after = modularity(graph, assign, m_mode)
     metrics.n_communities = int(np.unique(assign).shape[0])
     return assign, improved, metrics
 
@@ -279,6 +295,7 @@ def louvain(
     config: EngineConfig | None = None,
     tie_break: str = "canonical",
     checkpointer=None,
+    m_mode: str = "count",
 ) -> LouvainResult:
     """Multi-level Louvain: (level sweeps -> coarsen) until a level makes no
     move. Assignment composition across levels is maintained driver-side."""
@@ -308,6 +325,7 @@ def louvain(
             on_sweep=on_sweep,
             start_assign=start_assign if level == start_level else None,
             start_sweep=start_sweep if level == start_level else 0,
+            m_mode=m_mode,
         )
         metrics.level = level
         if not improved and level > 0:

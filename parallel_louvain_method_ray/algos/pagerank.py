@@ -1,0 +1,114 @@
+"""PageRank via power iteration over CSR shards.
+
+Mandated extension (BASELINE.json north_rule) — no reference counterpart
+(SURVEY §2.6). Standard published formulation:
+
+    r'(v) = (1-d)/N + d * ( sum_{u->v} r(u) * w(u,v)/outdeg_w(u)
+                            + dangling_mass / N )
+
+with damping d = 0.85, uniform init 1/N, dangling mass (vertices with zero
+out-weight) redistributed uniformly, convergence on L1 delta < tol.
+
+Execution: one shuffle-free map_batches pass over the materialized shards
+per iteration; each task emits SPARSE (dst, partial) contribution sums for
+its partition (numpy bincount over CSR — pre-aggregated, so the driver
+accumulates at most P * distinct-dst rows, not E rows). Rank vector is O(V)
+driver state broadcast via ray.put per iteration (see graph/build.py scale
+notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from parallel_louvain_method_ray.graph.build import GraphHandle
+from parallel_louvain_method_ray.graph.csr import unpack_shards
+
+
+def pagerank(
+    graph: GraphHandle,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    on_iteration=None,
+    start_ranks: np.ndarray | None = None,
+    start_iter: int = 0,
+) -> tuple[np.ndarray, dict]:
+    """Returns (ranks float64[n], metrics). The graph's entry list is
+    interpreted as the DIRECTED arc set (for undirected PageRank pass the
+    symmetrized graph — both directions are already present in shards)."""
+    n = graph.n
+    out_w = graph.degrees()  # weighted out-degree = CSR row weight sums
+    dangling = out_w <= 0.0
+    ranks = (
+        start_ranks.copy()
+        if start_ranks is not None
+        else np.full(n, 1.0 / n, dtype=np.float64)
+    )
+    inv_out = np.zeros(n, dtype=np.float64)
+    inv_out[~dangling] = 1.0 / out_w[~dangling]
+    iters = 0
+    delta = np.inf
+
+    for it in range(start_iter, max_iter):
+        scaled = ranks * inv_out  # rank(u)/outdeg_w(u), 0 for dangling
+        scaled_ref = ray.put(scaled)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            s = ray.get(scaled_ref)
+            acc = np.zeros(n, dtype=np.float64)
+            for shard in unpack_shards(batch):
+                counts = np.diff(shard.indptr)
+                src = np.repeat(shard.vids, counts)
+                np.add.at(acc, shard.cols, s[src] * shard.weights)
+            nz = np.flatnonzero(acc)
+            return pa.table({"dst": nz.astype(np.int64), "partial": acc[nz]})
+
+        incoming = np.zeros(n, dtype=np.float64)
+        for b in graph.shards.map_batches(
+            contrib, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            part = t.column("partial").to_numpy(zero_copy_only=False)
+            np.add.at(incoming, dst, part)
+
+        dangling_mass = float(ranks[dangling].sum())
+        new_ranks = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        iters = it + 1
+        if on_iteration is not None:
+            on_iteration(it, ranks, delta)
+        if delta < tol:
+            break
+
+    return ranks, {"iterations": iters, "l1_delta": delta}
+
+
+def pagerank_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+) -> np.ndarray:
+    """Driver-side dense oracle with identical semantics (tests only)."""
+    out_w = np.bincount(src, weights=w, minlength=n)
+    dangling = out_w <= 0.0
+    inv = np.zeros(n)
+    inv[~dangling] = 1.0 / out_w[~dangling]
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        s = r * inv
+        incoming = np.bincount(dst, weights=s[src] * w, minlength=n)
+        dm = r[dangling].sum()
+        nr = (1 - damping) / n + damping * (incoming + dm / n)
+        if np.abs(nr - r).sum() < tol:
+            return nr
+        r = nr
+    return r

@@ -1,0 +1,149 @@
+"""PageRank / CC / LPA / triangle tests against hand oracles (FIXTURES.md §4)."""
+
+import numpy as np
+import pytest
+
+from parallel_louvain_method_ray.algos.components import (
+    components_oracle,
+    connected_components,
+)
+from parallel_louvain_method_ray.algos.louvain import canonicalize_labels
+from parallel_louvain_method_ray.algos.lpa import label_propagation, lpa_oracle
+from parallel_louvain_method_ray.algos.pagerank import pagerank, pagerank_oracle
+from parallel_louvain_method_ray.algos.triangles import (
+    triangle_counts,
+    triangles_oracle,
+)
+from parallel_louvain_method_ray.config import EngineConfig
+from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+from tests.fixtures import random_graph
+
+
+def _graph(src, dst, w=None, P=3, **kw):
+    w = np.ones(len(src), dtype=np.float64) if w is None else w
+    return graph_from_entry_arrays(
+        np.asarray(src, dtype=np.int64),
+        np.asarray(dst, dtype=np.int64),
+        np.asarray(w, dtype=np.float64),
+        EngineConfig(num_partitions=P),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------- PageRank
+def test_pagerank_cycle_uniform():
+    # 4-cycle: symmetric -> uniform 0.25
+    g = _graph([0, 1, 2, 3], [1, 2, 3, 0])
+    ranks, meta = pagerank(g)
+    np.testing.assert_allclose(ranks, 0.25, atol=1e-6)
+
+
+def test_pagerank_star_with_dangling():
+    # directed star 1..4 -> 0; 0 is dangling (no out-edges)
+    src = np.array([1, 2, 3, 4], dtype=np.int64)
+    dst = np.zeros(4, dtype=np.int64)
+    w = np.ones(4)
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=2),
+        already_symmetrized=True, n_vertices=5,
+    )
+    ranks, _ = pagerank(g)
+    oracle = pagerank_oracle(src, dst, w, 5)
+    np.testing.assert_allclose(ranks, oracle, atol=1e-9)
+    assert ranks.sum() == pytest.approx(1.0, abs=1e-9)
+    assert ranks[0] > ranks[1]
+
+
+def test_pagerank_random_graph_matches_oracle():
+    src, dst, w = random_graph(150, 6, seed=5, weights=True)
+    g = _graph(src, dst, w, P=4)
+    ranks, _ = pagerank(g, tol=1e-12)
+    # oracle over the SAME symmetrized deduped entry list
+    from parallel_louvain_method_ray.algos.louvain_seq import SequentialCSR
+
+    csr = SequentialCSR(src, dst, w)
+    oracle = pagerank_oracle(csr.src, csr.cols, csr.weights, g.n, tol=1e-12)
+    np.testing.assert_allclose(ranks, oracle, atol=1e-6)
+
+
+# ---------------------------------------------------------- components
+def test_cc_two_components_and_isolated():
+    # component {0,1,2}, component {3,4}, isolated 5
+    src = [0, 1, 3]
+    dst = [1, 2, 4]
+    g = _graph(src, dst, P=2)
+    g = graph_from_entry_arrays(
+        np.array(src, dtype=np.int64),
+        np.array(dst, dtype=np.int64),
+        np.ones(3),
+        EngineConfig(num_partitions=2),
+        n_vertices=6,
+    )
+    labels, meta = connected_components(g)
+    np.testing.assert_array_equal(labels, [0, 0, 0, 3, 3, 5])
+
+
+def test_cc_random_matches_union_find():
+    src, dst, w = random_graph(400, 3, seed=9)
+    # break density: drop the ring edges for some isolated-ish structure
+    g = _graph(src, dst, w, P=4)
+    labels, _ = connected_components(g)
+    oracle = components_oracle(src, dst, g.n)
+    np.testing.assert_array_equal(labels, oracle)
+
+
+# ----------------------------------------------------------------- LPA
+def test_lpa_two_cliques_bridge():
+    # two 4-cliques joined by one bridge edge
+    def clique(vs):
+        return [(a, b) for i, a in enumerate(vs) for b in vs[i + 1 :]]
+
+    e = clique([0, 1, 2, 3]) + clique([4, 5, 6, 7]) + [(3, 4)]
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    g = _graph(src, dst, P=2)
+    labels, _ = label_propagation(g)
+    canon = canonicalize_labels(labels)
+    np.testing.assert_array_equal(canon[:4], [0, 0, 0, 0])
+    np.testing.assert_array_equal(canon[4:], [1, 1, 1, 1])
+
+
+def test_lpa_matches_dense_oracle():
+    src, dst, w = random_graph(60, 6, seed=21)
+    g = _graph(src, dst, w, P=1)
+    labels, _ = label_propagation(g, max_sweeps=8)
+    from parallel_louvain_method_ray.algos.louvain_seq import SequentialCSR
+
+    csr = SequentialCSR(src, dst, w)
+    half = csr.src < csr.cols  # oracle symmetrizes internally
+    oracle = lpa_oracle(
+        csr.src[half], csr.cols[half], csr.weights[half], g.n, max_sweeps=8
+    )
+    np.testing.assert_array_equal(labels, oracle)
+
+
+# ------------------------------------------------------------- triangles
+def test_triangles_k4():
+    # K4: 4 triangles total, 3 per vertex
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    g = _graph([a for a, _ in e], [b for _, b in e], P=2)
+    per_vertex, total = triangle_counts(g)
+    assert total == 4
+    np.testing.assert_array_equal(per_vertex, [3, 3, 3, 3])
+
+
+def test_triangles_bipartite_zero():
+    e = [(0, 2), (0, 3), (1, 2), (1, 3)]
+    g = _graph([a for a, _ in e], [b for _, b in e], P=2)
+    per_vertex, total = triangle_counts(g)
+    assert total == 0
+    assert per_vertex.sum() == 0
+
+
+def test_triangles_random_matches_dense_oracle():
+    src, dst, w = random_graph(80, 8, seed=13)
+    g = _graph(src, dst, w, P=3)
+    per_vertex, total = triangle_counts(g)
+    oracle = triangles_oracle(src, dst, g.n)
+    np.testing.assert_array_equal(per_vertex, oracle)
+    assert total == oracle.sum() // 3
