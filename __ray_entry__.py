@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline on /root/testdata/sf0.001 — synthesize the
+  Common-Crawl-style pages table over the documents id universe, extract
+  HTML -> text (byte-identical invariant) + anchors via the actor pool,
+  build the link graph, run multi-level Louvain + PageRank; returns the
+  per-vertex (url, vid, comm, rank) table.
+- queries(): one callable per implemented operator (SURVEY.md §2 + §2.6 +
+  training-data extensions), each over the given sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query
+  (graph queries run over the supplier co-occurrence graph so that even
+  PageRank/CC/triangles are oracle-checked; iterative Louvain and the
+  HTML pipeline are rows-only).
 """
 
 from __future__ import annotations
@@ -18,27 +21,21 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import parallel_louvain_method_ray  # noqa: F401  (registers pickle-by-value)
+from parallel_louvain_method_ray._pickle import ensure_registered
+from parallel_louvain_method_ray.pipelines import queries as _q
+from parallel_louvain_method_ray.pipelines.web_graph import flagship
+
+ensure_registered()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_q.ORACLE_SQL)

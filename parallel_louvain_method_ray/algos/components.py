@@ -30,9 +30,10 @@ def connected_components(
         lab_ref = ray.put(labels)
 
         def kernel(batch: pa.Table) -> pa.Table:
-            lab = np.array(ray.get(lab_ref))  # local writable copy
             out_v, out_l = [], []
             for shard in unpack_shards(batch):
+                # fresh copy per shard (see louvain kernel note)
+                lab = np.array(ray.get(lab_ref))
                 ip = shard.indptr
                 while True:
                     row_min = np.minimum.reduceat(lab[shard.cols], ip[:-1])

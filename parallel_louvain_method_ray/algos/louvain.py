@@ -62,11 +62,13 @@ def _sweep_pass(
         m2 = 2.0 * graph.m
 
     def kernel(batch: pa.Table) -> pa.Table:
-        assign = np.array(ray.get(assign_ref))  # writable snapshot copies
-        tot = np.array(ray.get(tot_ref))
         deg = ray.get(deg_ref)
         out_v, out_c = [], []
         for shard in unpack_shards(batch):
+            # fresh snapshot PER SHARD: partition semantics must not depend
+            # on how shards happen to be packed into blocks/batches
+            assign = np.array(ray.get(assign_ref))
+            tot = np.array(ray.get(tot_ref))
             before = assign[shard.vids].copy()
             local_move_sweep(
                 shard.vids,
@@ -232,6 +234,7 @@ def louvain_level(
     start_assign: np.ndarray | None = None,
     start_sweep: int = 0,
     m_mode: str = "count",
+    prior_improved: bool = False,
 ) -> tuple[np.ndarray, bool, LevelMetrics]:
     """One Louvain level (the reference's `iterate()`,
     `community.cpp:64-102`): BSP sweeps until 0 moves. Returns
@@ -247,7 +250,7 @@ def louvain_level(
     )
     metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
     metrics.modularity_before = modularity(graph, assign, m_mode)
-    improved = False
+    improved = prior_improved
     last_q = metrics.modularity_before
     stall = 0
     for sweep in range(start_sweep, cfg.max_sweeps):
@@ -309,10 +312,12 @@ def louvain(
     levels: list[LevelMetrics] = []
     final_q = 0.0
     start_level, start_sweep, start_assign = 0, 0, None
+    resumed_improved = False
     if checkpointer is not None:
         resumed = checkpointer.resume()
         if resumed is not None:
-            graph, membership, levels, start_level, start_sweep, start_assign = resumed
+            (graph, membership, levels, start_level, start_sweep,
+             start_assign, resumed_improved) = resumed
     for level in range(start_level, cfg.max_levels):
         on_sweep = None
         if checkpointer is not None:
@@ -326,6 +331,7 @@ def louvain(
             start_assign=start_assign if level == start_level else None,
             start_sweep=start_sweep if level == start_level else 0,
             m_mode=m_mode,
+            prior_improved=resumed_improved if level == start_level else False,
         )
         metrics.level = level
         if not improved and level > 0:

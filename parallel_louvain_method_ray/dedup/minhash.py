@@ -1,0 +1,212 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (the classic shingle -> minhash -> band -> bucket-groupby shape):
+1. signatures: word 3-shingles of the normalized text, each hashed to a
+   stable 64-bit integer (blake2b — NOT Python's salted hash()); P=64
+   universal-hash permutations h_i(x) = (a_i*x + b_i) mod p minimized over
+   the shingle set. Stateful actor: permutation table built once per actor.
+2. banding: the signature is split into B=16 bands of r=4 rows; each band
+   hashes to a bucket key. Docs sharing any band bucket become candidates
+   (prob ~ jaccard^r per band — the standard S-curve).
+3. candidate pairs come from a groupby on (band_idx, bucket) — the shuffle
+   is keyed on buckets so a hot bucket is one group, never one task per
+   pair; groups are capped (`max_bucket_size`) to bound quadratic blowup.
+4. verification: exact shingle-set jaccard for candidates, threshold filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from parallel_louvain_method_ray.textops.analysis import _TOKEN, _normalize
+
+# Mersenne prime 2^31-1: with 31-bit shingle hashes, a*x + b stays < 2^63,
+# so the permutation sweep is a single vectorized int64 matrix op.
+_P31 = (1 << 31) - 1
+N_PERMS = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def _perm_params(n_perms: int = N_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) universal-hash parameters (seeded PCG64)."""
+    rng = np.random.default_rng(20240614)
+    a = rng.integers(1, _P31, n_perms, dtype=np.int64)
+    b = rng.integers(0, _P31, n_perms, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = _TOKEN.findall(_normalize(text))
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return np.unique(out)
+
+
+class MinHasher:
+    """Actor stage: permutation table in __init__, signatures per batch."""
+
+    def __init__(self) -> None:
+        self.a, self.b = _perm_params()
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text)
+        if sh.shape[0] == 0:
+            return np.full(N_PERMS, _P31, dtype=np.int64)
+        x = (sh % _P31).astype(np.int64)
+        # (P, S) int64 matrix — fully vectorized permutation sweep
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _P31
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "signature": pa.array(
+                    [s.tolist() for s in sigs], pa.large_list(pa.int64())
+                ),
+            }
+        )
+
+
+def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+
+
+def _bands(batch: pa.Table) -> pa.Table:
+    """signature row -> N_BANDS (doc_id, band_idx, bucket) rows."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    col = batch.column("signature")
+    combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(combined.flatten()).reshape(len(ids), N_PERMS)
+    out_id, out_band, out_bucket = [], [], []
+    for j in range(N_BANDS):
+        band = flat[:, j * ROWS_PER_BAND : (j + 1) * ROWS_PER_BAND]
+        for i in range(len(ids)):
+            bucket = hashlib.blake2b(
+                band[i].tobytes(), digest_size=8
+            ).hexdigest()
+            out_id.append(int(ids[i]))
+            out_band.append(j)
+            out_bucket.append(bucket)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band_idx": pa.array(out_band, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.string()),
+        }
+    )
+
+
+def near_dup_pairs_minhash(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    max_bucket_size: int = 200,
+) -> pa.Table:
+    """(doc_a, doc_b, jaccard) for verified near-duplicate pairs
+    (doc_a < doc_b, exact shingle jaccard >= threshold)."""
+    sigs = minhash_signatures(docs)
+    bands = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if ids.shape[0] < 2 or ids.shape[0] > max_bucket_size:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        i, j = np.triu_indices(ids.shape[0], k=1)
+        return pa.table({"doc_a": ids[i], "doc_b": ids[j]})
+
+    cand = (
+        bands.groupby(["band_idx", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )
+    cand_t = pa.concat_tables(
+        [pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")]
+    )
+    if cand_t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+
+    # verification: broadcast the shingle sets of candidate docs only
+    need = np.unique(
+        np.concatenate(
+            [
+                cand_t.column("doc_a").to_numpy(zero_copy_only=False),
+                cand_t.column("doc_b").to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    need_set = set(need.tolist())
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = [i for i, d in enumerate(ids.tolist()) if d in need_set]
+        sub = batch.take(keep)
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "shingles": pa.array(
+                    [
+                        _shingle_hashes(t).tolist()
+                        for t in sub.column("text").to_pylist()
+                    ],
+                    pa.large_list(pa.uint64()),
+                ),
+            }
+        )
+
+    sh_t = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in docs.map_batches(shingles_of, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    sh_map = {
+        int(d): np.asarray(s)
+        for d, s in zip(sh_t.column("doc_id").to_pylist(), sh_t.column("shingles").to_pylist())
+    }
+    sh_ref = ray.put(sh_map)
+    cand_ds = ray.data.from_arrow(cand_t)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sh_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        jac = np.empty(a.shape[0], dtype=np.float64)
+        for i in range(a.shape[0]):
+            sa, sb = sm[int(a[i])], sm[int(b[i])]
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            union = sa.shape[0] + sb.shape[0] - inter
+            jac[i] = inter / union if union else 0.0
+        t = pa.table({"doc_a": a, "doc_b": b, "jaccard": np.round(jac, 6)})
+        return t.filter(pa.compute.greater_equal(t.column("jaccard"), threshold))
+
+    out = cand_ds.map_batches(verify, batch_format="pyarrow")
+    return pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )

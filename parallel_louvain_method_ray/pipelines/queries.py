@@ -1,0 +1,709 @@
+"""The `queries()` surface: every operator as a callable(sf_dir) -> result,
+paired (where SQL-expressible) with a DuckDB oracle in `oracle_sql()`.
+
+Graph queries run over the supplier co-occurrence graph
+(`sources/tpch.py`) because it is derivable from the sf dir IN SQL — which
+makes even PageRank (unrolled power iteration), connected components
+(recursive CTE) and triangle counting oracle-checkable end-to-end.
+
+Conventions for driver hash-parity:
+- column names identical on both sides;
+- float columns that depend on aggregation order are rounded to 9 decimals
+  on BOTH sides; integer-valued double sums are exact (< 2^53) and left
+  unrounded;
+- engine outputs use RAW supplier ids (`renumber` is monotonic, so dense
+  engine ids map back order-preservingly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from parallel_louvain_method_ray.algos.components import connected_components
+from parallel_louvain_method_ray.algos.louvain import (
+    canonicalize_labels,
+    louvain,
+    modularity,
+)
+from parallel_louvain_method_ray.algos.lpa import label_propagation
+from parallel_louvain_method_ray.algos.pagerank import pagerank
+from parallel_louvain_method_ray.algos.triangles import triangle_counts
+from parallel_louvain_method_ray.config import EngineConfig
+from parallel_louvain_method_ray.graph.build import (
+    build_graph,
+    dedup_entries,
+    graph_meta,
+    renumber,
+    symmetrize,
+)
+from parallel_louvain_method_ray.sources.tpch import (
+    SUPPLIER_COGRAPH_SQL,
+    SUPPLIER_SYM_SQL,
+    read_table,
+    supplier_cograph_edges,
+)
+
+_CFG = EngineConfig(num_partitions=8)
+
+# ---------------------------------------------------------------------------
+# shared graph construction (cached per sf_dir — the driver calls each query
+# separately; rebuilding the graph per query would redo the same shuffle)
+# ---------------------------------------------------------------------------
+
+_graph_cache: dict[str, tuple] = {}
+
+
+def _graph_for(sf_dir: str):
+    if sf_dir not in _graph_cache:
+        edges = supplier_cograph_edges(sf_dir)
+        edges_dense, vertices, n = renumber(edges)
+        raw_ids = np.sort(
+            pa.concat_tables(
+                [pa.table(b) for b in vertices.iter_batches(batch_format="pyarrow")]
+            )
+            .column("raw_id")
+            .to_numpy(zero_copy_only=False)
+        )
+        graph = build_graph(edges_dense, _CFG, n_vertices=n)
+        _graph_cache[sf_dir] = (graph, raw_ids)
+    return _graph_cache[sf_dir]
+
+
+def _t(**cols) -> pa.Table:
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_edges(sf_dir: str):
+    return supplier_cograph_edges(sf_dir)
+
+
+def q_symmetrize(sf_dir: str):
+    return dedup_entries(symmetrize(supplier_cograph_edges(sf_dir)))
+
+
+def q_degrees(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    deg = graph.degrees()
+    return _t(vid=raw, degree=deg)
+
+
+def q_renumber(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    return _t(raw_id=raw, vid=np.arange(raw.shape[0], dtype=np.int64))
+
+
+def q_graph_meta(sf_dir: str):
+    graph, _ = _graph_for(sf_dir)
+    m = graph_meta(graph)
+    return _t(
+        n_vertices=[np.int64(m["n_vertices"])],
+        n_entries=[np.int64(m["n_entries"])],
+        m=[np.int64(m["m"])],
+        total_weight=[float(m["total_weight"])],
+    )
+
+
+def q_triangles_total(sf_dir: str):
+    graph, _ = _graph_for(sf_dir)
+    _, total = triangle_counts(graph)
+    return _t(n_triangles=[np.int64(total)])
+
+
+def q_triangles_per_vertex(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    per_vertex, _ = triangle_counts(graph)
+    nz = np.flatnonzero(per_vertex)
+    return _t(vid=raw[nz], n_triangles=per_vertex[nz])
+
+
+def q_connected_components(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    labels, _ = connected_components(graph)
+    return _t(vid=raw, label=raw[labels])
+
+
+def q_pagerank5(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    ranks, _ = pagerank(graph, tol=0.0, max_iter=5)
+    return _t(vid=raw, rank=np.round(ranks, 9))
+
+
+def q_lpa_one_sweep(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    labels, _ = label_propagation(graph, max_sweeps=1)
+    return _t(vid=raw, label=raw[labels])
+
+
+def q_modularity_singleton(sf_dir: str):
+    graph, _ = _graph_for(sf_dir)
+    q = modularity(graph, np.arange(graph.n, dtype=np.int64))
+    return _t(q=[round(q, 9)])
+
+
+def q_louvain(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    res = louvain(graph, _CFG)
+    return _t(vid=raw, comm=res.assignments)
+
+
+def q_louvain_modularity(sf_dir: str):
+    graph, raw = _graph_for(sf_dir)
+    res = louvain(graph, _CFG)
+    return _t(
+        modularity=[round(res.modularity, 6)],
+        n_communities=[np.int64(np.unique(res.assignments).shape[0])],
+        n_levels=[np.int64(len(res.levels))],
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational queries (engine breadth: filter/project/groupby/join/sort/limit)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style aggregation over lineitem (filter -> groupby -> agg)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(
+        np.datetime64("1998-09-02T00:00:00.000000"), pa.timestamp("us")
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+
+    agg = (
+        li.map_batches(keep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity"),
+            Sum("l_extendedprice"),
+            Mean("l_discount"),
+            Count(),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("sum(l_quantity)"),
+                "sum_base_price": pc.round(
+                    batch.column("sum(l_extendedprice)"), ndigits=4
+                ),
+                "avg_disc": pc.round(batch.column("mean(l_discount)"), ndigits=9),
+                "count_order": batch.column("count()"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_customers(sf_dir: str):
+    """orders groupby custkey -> broadcast-join customer names -> top 10."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spent = orders.groupby("o_custkey").sum("o_totalprice")
+
+    cust = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in read_table(
+                sf_dir, "customer", columns=["c_custkey", "c_name"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    ckeys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    order_c = np.argsort(ckeys)
+    ckeys_sorted = ckeys[order_c]
+    cnames_sorted = cust.column("c_name").to_numpy(zero_copy_only=False)[order_c]
+    ref = ray.put((ckeys_sorted, cnames_sorted))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ck)
+        return pa.table(
+            {
+                "c_custkey": ck,
+                "c_name": pa.array(names[idx], pa.string()),
+                "total_spent": pc.round(
+                    batch.column("sum(o_totalprice)"), ndigits=4
+                ),
+            }
+        )
+
+    return (
+        spent.map_batches(attach, batch_format="pyarrow")
+        .sort("total_spent", descending=True)
+        .limit(10)
+    )
+
+
+def q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    agg = ev.groupby("event_type").aggregate(Count(), Sum("value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("count()"),
+                "total_value": pc.round(batch.column("sum(value)"), ndigits=6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+
+
+# flat CTE chain for embedding (nested WITH is illegal inside RECURSIVE CTEs)
+SYM_CTES = f"""cograph AS ({SUPPLIER_COGRAPH_SQL}),
+sym AS (
+    SELECT src, dst, weight FROM cograph
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM cograph
+)"""
+
+
+def _pagerank5_sql() -> str:
+    parts = [
+        f"WITH {SYM_CTES},",
+        "deg AS (SELECT src AS v, sum(weight) AS d FROM sym GROUP BY src),",
+        "nv AS (SELECT count(*) AS n FROM deg),",
+        "r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM deg),",
+    ]
+    for k in range(1, 6):
+        parts.append(
+            f"r{k} AS (SELECT sym.dst AS v, "
+            f"0.15 / (SELECT n FROM nv) + 0.85 * sum(r{k-1}.r * sym.weight / deg.d) AS r "
+            f"FROM sym JOIN r{k-1} ON sym.src = r{k-1}.v "
+            f"JOIN deg ON deg.v = sym.src GROUP BY sym.dst),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT v AS vid, round(r, 9) AS rank FROM r5"
+
+
+ORACLE_SQL: dict[str, str] = {
+    "edges_supplier_cograph": SUPPLIER_COGRAPH_SQL,
+    "symmetrize_dedup": SUPPLIER_SYM_SQL,
+    "weighted_degrees": f"""
+        WITH {SYM_CTES}
+        SELECT src AS vid, sum(weight) AS degree FROM sym GROUP BY src
+    """,
+    "renumber_vertices": f"""
+        WITH {SYM_CTES}
+        SELECT raw_id, row_number() OVER (ORDER BY raw_id) - 1 AS vid
+        FROM (SELECT DISTINCT src AS raw_id FROM sym)
+    """,
+    "graph_meta": f"""
+        WITH {SYM_CTES}
+        SELECT count(DISTINCT src) AS n_vertices,
+               count(*) AS n_entries,
+               count(*) // 2 AS m,
+               sum(weight) AS total_weight
+        FROM sym
+    """,
+    "triangles_total": f"""
+        WITH cograph AS ({SUPPLIER_COGRAPH_SQL})
+        SELECT count(*) AS n_triangles
+        FROM cograph e1
+        JOIN cograph e2 ON e1.dst = e2.src
+        JOIN cograph e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    "triangles_per_vertex": f"""
+        WITH cograph AS ({SUPPLIER_COGRAPH_SQL}),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM cograph e1
+            JOIN cograph e2 ON e1.dst = e2.src
+            JOIN cograph e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        roles AS (
+            SELECT a AS vid FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT vid, count(*) AS n_triangles FROM roles GROUP BY vid
+    """,
+    "connected_components": f"""
+        WITH RECURSIVE {SYM_CTES},
+        reach(v, lab) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.v
+        )
+        SELECT v AS vid, min(lab) AS label FROM reach GROUP BY v
+    """,
+    "pagerank5": _pagerank5_sql(),
+    "lpa_one_sweep": f"""
+        WITH {SYM_CTES},
+        nl AS (
+            SELECT src AS v, dst AS lab, sum(weight) AS w
+            FROM sym WHERE src <> dst GROUP BY src, dst
+        ),
+        pick AS (
+            SELECT v, lab, w,
+                   row_number() OVER (
+                       PARTITION BY v ORDER BY w DESC, lab ASC
+                   ) AS rn
+            FROM nl
+        )
+        SELECT v AS vid, lab AS label FROM pick WHERE rn = 1
+    """,
+    "modularity_singleton": f"""
+        WITH {SYM_CTES},
+        deg AS (SELECT src AS v, sum(weight) AS d FROM sym GROUP BY src),
+        m2 AS (SELECT 2.0 * (count(*) // 2) AS m2 FROM sym)
+        SELECT round(-sum((d / (SELECT m2 FROM m2)) ^ 2), 9) AS q FROM deg
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(avg(l_discount), 9) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT o.o_custkey AS c_custkey, c.c_name,
+               round(sum(o.o_totalprice), 4) AS total_spent
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_name
+        ORDER BY total_spent DESC
+        LIMIT 10
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+}
+
+
+QUERIES = {
+    "edges_supplier_cograph": q_edges,
+    "symmetrize_dedup": q_symmetrize,
+    "weighted_degrees": q_degrees,
+    "renumber_vertices": q_renumber,
+    "graph_meta": q_graph_meta,
+    "triangles_total": q_triangles_total,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "connected_components": q_connected_components,
+    "pagerank5": q_pagerank5,
+    "lpa_one_sweep": q_lpa_one_sweep,
+    "modularity_singleton": q_modularity_singleton,
+    "louvain_communities": q_louvain,  # rows-only (iterative, non-SQL)
+    "louvain_modularity": q_louvain_modularity,  # rows-only
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_by_type": q_events_by_type,
+}
+
+
+# ---------------------------------------------------------------------------
+# training-data queries: text analysis, dedup family, similarity search,
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from parallel_louvain_method_ray.dedup.embedding import embedding_near_dups
+from parallel_louvain_method_ray.dedup.exact import exact_dup_groups
+from parallel_louvain_method_ray.dedup.jaccard import shingle_jaccard_pairs
+from parallel_louvain_method_ray.dedup.minhash import (
+    minhash_signatures,
+    near_dup_pairs_minhash,
+)
+from parallel_louvain_method_ray.dedup.simhash import (
+    near_dup_pairs_simhash,
+    simhash_signatures,
+)
+from parallel_louvain_method_ray.mm.media import (
+    decode_features,
+    sample_frames,
+    synthesize_media,
+)
+from parallel_louvain_method_ray.sim.search import (
+    cosine_topk,
+    cosine_topk_lsh,
+    queries_from_dataset,
+)
+from parallel_louvain_method_ray.textops.analysis import (
+    fingerprints,
+    lang_id,
+    text_stats,
+    top_tokens,
+)
+
+
+def _docs_ds(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def _augmented_docs(sf_dir: str, n_dupes: int = 20):
+    """documents plus deterministic near-duplicates of the first `n_dupes`
+    docs (last token swapped, doc_id + 1_000_000) — gives the near-dup
+    operators planted structure to find on any sf dir."""
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        add_id, add_text = [], []
+        for i, t in zip(ids.tolist(), texts):
+            if i < n_dupes:
+                toks = t.split()
+                if len(toks) > 3:
+                    toks[-1] = "dupmarker"
+                add_id.append(i + 1_000_000)
+                add_text.append(" ".join(toks))
+        return pa.table(
+            {
+                "doc_id": np.concatenate([ids, np.array(add_id, np.int64)]),
+                "text": pa.array(list(texts) + add_text, pa.string()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(aug, batch_format="pyarrow")
+
+
+def q_text_stats(sf_dir: str):
+    return text_stats(_docs_ds(sf_dir))
+
+
+def q_fingerprints(sf_dir: str):
+    return fingerprints(_docs_ds(sf_dir))
+
+
+def q_top_tokens(sf_dir: str):
+    return top_tokens(_docs_ds(sf_dir), k=20)
+
+
+def q_exact_dedup(sf_dir: str):
+    return exact_dup_groups(_docs_ds(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    return lang_id(_docs_ds(sf_dir))
+
+
+def q_minhash_signatures(sf_dir: str):
+    sigs = minhash_signatures(_docs_ds(sf_dir))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        col = batch.column("signature")
+        combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(combined)
+        flat = np.asarray(combined.flatten()).reshape(n, -1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig_min": flat.min(axis=1),
+                "sig_sum": flat.sum(axis=1),
+            }
+        )
+
+    return sigs.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    sigs = simhash_signatures(_docs_ds(sf_dir))
+    return sigs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "simhash_hex": pa.array(
+                    [f"{int(x):016x}" for x in b.column("simhash").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_near_dup_minhash(sf_dir: str):
+    return near_dup_pairs_minhash(_augmented_docs(sf_dir), threshold=0.6)
+
+
+def q_near_dup_simhash(sf_dir: str):
+    return near_dup_pairs_simhash(_augmented_docs(sf_dir), max_hamming=3)
+
+
+def q_jaccard_pairs(sf_dir: str):
+    return shingle_jaccard_pairs(_augmented_docs(sf_dir), threshold=0.6)
+
+
+def _emb_ds(sf_dir: str):
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+
+def q_embedding_near_dups(sf_dir: str):
+    emb = _emb_ds(sf_dir)
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding")
+        combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        rows = combined.to_pylist()
+        add_id, add_v = [], []
+        for i, v in zip(ids.tolist(), rows):
+            if i < 10:
+                w = list(v)
+                w[0] = w[0] + 1e-3
+                add_id.append(i + 1_000_000)
+                add_v.append(w)
+        return pa.table(
+            {
+                "vec_id": np.concatenate([ids, np.array(add_id, np.int64)]),
+                "embedding": pa.array(list(rows) + add_v, combined.type),
+            }
+        )
+
+    return embedding_near_dups(
+        emb.map_batches(aug, batch_format="pyarrow"), threshold=0.999
+    )
+
+
+def q_cosine_topk(sf_dir: str):
+    emb = _emb_ds(sf_dir)
+    qids, qmat = queries_from_dataset(emb, [0, 1, 2, 3, 4])
+    return cosine_topk(emb, qmat, qids, k=10)
+
+
+def q_cosine_topk_lsh(sf_dir: str):
+    emb = _emb_ds(sf_dir)
+    qids, qmat = queries_from_dataset(emb, [0, 1, 2, 3, 4])
+    return cosine_topk_lsh(emb, qmat, qids, k=10)
+
+
+def q_media_features(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    feats = decode_features(synthesize_media(docs), concurrency=2, batch_size=64)
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "n_frames": b.column("n_frames"),
+                "feature_sum": pc.round(
+                    pa.array(
+                        [float(sum(x)) for x in b.column("feature").to_pylist()],
+                        pa.float64(),
+                    ),
+                    ndigits=4,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return sample_frames(synthesize_media(docs), every_k=4)
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+ORACLE_SQL.update(
+    {
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+        """,
+        "top_tokens": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, count(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "exact_dedup": f"""
+            SELECT md5({_NORM_SQL}) AS fp,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+                       ) AS rn
+                FROM sims
+            )
+            SELECT query_id, vec_id, round(score, 6) AS score
+            FROM ranked WHERE rn <= 10
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "doc_fingerprints": q_fingerprints,
+        "top_tokens": q_top_tokens,
+        "exact_dedup": q_exact_dedup,
+        "lang_id": q_lang_id,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash,
+        "near_dup_minhash": q_near_dup_minhash,
+        "near_dup_simhash": q_near_dup_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+    }
+)

@@ -1,0 +1,149 @@
+"""The flagship pipeline (SURVEY §7.1): pages -> extract -> edges -> graph
+-> Louvain + PageRank.
+
+pages.parquet-shaped input (from `web.pages.synthesize_pages` over the
+testdata `documents` table) -> actor-pool HTML extraction (byte-identical
+text invariant asserted) -> (src_url, dst_url) anchors -> dense url
+renumbering -> edge table -> Louvain communities + PageRank scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from parallel_louvain_method_ray.algos.louvain import louvain
+from parallel_louvain_method_ray.algos.pagerank import pagerank
+from parallel_louvain_method_ray.config import DEFAULT_CONFIG, EngineConfig
+from parallel_louvain_method_ray.graph.build import build_graph
+from parallel_louvain_method_ray.web.extract import extract_pages, links_to_edges
+from parallel_louvain_method_ray.web.pages import synthesize_pages
+
+
+def pages_from_documents(
+    sf_dir: str, n_domains: int = 50, **knobs
+) -> ray.data.Dataset:
+    """Deterministic pages table over the sf dir's document-id universe."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    n_pages = docs.count()
+    return synthesize_pages(docs, n_pages=n_pages, n_domains=n_domains, **knobs)
+
+
+def renumber_urls(
+    edges_str: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
+    """Dense renumbering over string keys: every url appearing as src or dst
+    maps to its rank in sorted order (the string analogue of
+    `renumber.py:25-34`). Distinct-url set is O(V) driver/broadcast state;
+    scale path: Dataset.sort + per-block offset ranking."""
+
+    def urls_of(batch: pa.Table) -> pa.Table:
+        u = np.union1d(
+            batch.column("src_url").to_numpy(zero_copy_only=False),
+            batch.column("dst_url").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"url": pa.array(u, pa.string())})
+
+    distinct = (
+        edges_str.map_batches(urls_of, batch_format="pyarrow")
+        .groupby("url")
+        .count()
+        .select_columns(["url"])
+    )
+    parts = [
+        pa.table(b).column("url").to_numpy(zero_copy_only=False)
+        for b in distinct.iter_batches(batch_format="pyarrow")
+    ]
+    urls = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+    ref = ray.put(urls)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        u = ray.get(ref)
+        s = batch.column("src_url").to_numpy(zero_copy_only=False)
+        d = batch.column("dst_url").to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "src": np.searchsorted(u, s).astype(np.int64),
+                "dst": np.searchsorted(u, d).astype(np.int64),
+                "weight": batch.column("n_anchors")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        return out
+
+    vertices = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "vid": np.arange(urls.shape[0], dtype=np.int64),
+            }
+        )
+    )
+    return (
+        edges_str.map_batches(rewrite, batch_format="pyarrow"),
+        vertices,
+        int(urls.shape[0]),
+    )
+
+
+def web_edge_table(
+    pages: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 256,
+    check_invariant: bool = True,
+):
+    """pages -> (edges(src,dst,weight), vertices(url,vid), n, extraction
+    stats). Raises if any page's extracted text differs from the stored
+    `text` column (the per-row invariant)."""
+    extracted = extract_pages(pages, concurrency=concurrency, batch_size=batch_size)
+    if check_invariant:
+        # one aggregate over the boolean column — no materialization of text
+        bad = extracted.map_batches(
+            lambda b: pa.table(
+                {"bad": [int(len(b) - pa.compute.sum(b.column("text_ok")).as_py())]}
+            ),
+            batch_format="pyarrow",
+        ).sum("bad")
+        if bad:
+            raise AssertionError(
+                f"text invariant violated on {bad} pages (extracted != stored)"
+            )
+    edges_str = links_to_edges(extracted)
+    edges, vertices, n = renumber_urls(edges_str)
+    return edges, vertices, n
+
+
+def flagship(
+    sf_dir: str,
+    config: EngineConfig | None = None,
+    n_domains: int = 50,
+    pagerank_iters: int = 20,
+) -> "pa.Table":
+    """End-to-end: returns a per-vertex table
+    (url, vid, comm, rank) — community from multi-level Louvain
+    (m_mode="weight": anchor-count weighted edges), PageRank over the
+    symmetrized link graph."""
+    cfg = config or DEFAULT_CONFIG
+    pages = pages_from_documents(sf_dir, n_domains=n_domains)
+    edges, vertices, n = web_edge_table(pages)
+    graph = build_graph(edges, cfg, n_vertices=n)
+    res = louvain(graph, cfg, m_mode="weight")
+    ranks, _ = pagerank(graph, max_iter=pagerank_iters)
+
+    vid_url = pa.concat_tables(
+        [pa.table(b) for b in vertices.iter_batches(batch_format="pyarrow")]
+    )
+    order = vid_url.column("vid").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "url": vid_url.column("url"),
+            "vid": vid_url.column("vid"),
+            "comm": res.assignments[order],
+            "rank": ranks[order],
+        }
+    )

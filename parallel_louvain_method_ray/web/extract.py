@@ -1,0 +1,155 @@
+"""HTML -> text + outlink extraction as a stateful actor-pool stage.
+
+The north rule's front-end (SURVEY §2.6): parse `html:binary` per page into
+- `text`: canonical extracted text — MUST be byte-identical per url to the
+  pages table's stored `text` column (BASELINE.json input_hint invariant);
+- `links`: resolved absolute outlink URLs from <a href=...> anchors
+  (relative hrefs resolved against the page url).
+
+Extraction spec (deterministic, entity-decoding, whitespace-normalizing):
+1. decode utf-8 (errors=replace);
+2. drop <script>/<style> elements wholesale;
+3. treat closing block tags (</title>, </h1>..</h6>, </p>, </div>, </li>,
+   </tr>, <br>) as line breaks;
+4. strip all remaining tags;
+5. html.unescape entities;
+6. collapse intra-line whitespace runs to single spaces, strip each line,
+   drop empty lines; join lines with "\n".
+
+Runs as a CALLABLE CLASS passed to `map_batches(HtmlExtractor,
+concurrency=N, batch_size=B)` — regexes compile once per actor in
+`__init__` (the pattern the reference never needed: its input was already
+parsed text, `src/graph.cpp:24-49`). Batches are zero-copy Arrow in/out;
+the wide `html` binary column is DROPPED here and never shuffled.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from urllib.parse import urljoin
+
+import pyarrow as pa
+import ray.data
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("links", pa.large_list(pa.string())),
+        ("lang", pa.string()),
+        # per-row invariant result: extracted text byte-identical to the
+        # stored `text` column (True when no stored text was provided)
+        ("text_ok", pa.bool_()),
+    ]
+)
+
+
+class HtmlExtractor:
+    """Stateful per-actor parser. __init__ once per actor; __call__ per batch."""
+
+    def __init__(self) -> None:
+        self._script = re.compile(
+            r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+        )
+        self._breaks = re.compile(
+            r"</(?:title|h[1-6]|p|div|li|tr)\s*>|<br\s*/?>", re.IGNORECASE
+        )
+        self._tags = re.compile(r"<[^>]+>")
+        self._href = re.compile(
+            r"<a\s[^>]*?href\s*=\s*\"([^\"]+)\"", re.IGNORECASE
+        )
+        self._ws = re.compile(r"[ \t\r\f\v]+")
+
+    def extract_text(self, raw: str) -> str:
+        s = self._script.sub("", raw)
+        s = self._breaks.sub("\n", s)
+        s = self._tags.sub("", s)
+        s = _html.unescape(s)
+        lines = []
+        for line in s.split("\n"):
+            line = self._ws.sub(" ", line).strip()
+            if line:
+                lines.append(line)
+        return "\n".join(lines)
+
+    def extract_links(self, raw: str, base_url: str) -> list[str]:
+        out = []
+        for href in self._href.findall(raw):
+            out.append(urljoin(base_url, _html.unescape(href)))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(urls)
+        )
+        stored = (
+            batch.column("text").to_pylist()
+            if "text" in batch.column_names
+            else [None] * len(urls)
+        )
+        texts, links, ok = [], [], []
+        for url, blob, st in zip(urls, htmls, stored):
+            raw = blob.decode("utf-8", errors="replace")
+            t = self.extract_text(raw)
+            texts.append(t)
+            links.append(self.extract_links(raw, url))
+            ok.append(True if st is None else t == st)
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(links, pa.large_list(pa.string())),
+                pa.array(langs, pa.string()),
+                pa.array(ok, pa.bool_()),
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
+
+
+def extract_pages(
+    pages: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """pages(url, warc_ts, html, text, lang) -> extracted(url, text, links,
+    lang) via the actor pool. `html` is dropped at this stage boundary."""
+    return pages.map_batches(
+        HtmlExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def links_to_edges(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, links) -> (src_url, dst_url, weight=count) — one row per
+    distinct (src, dst) anchor pair, weight = number of anchors."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("links")
+        counts = [len(v) for v in col.to_pylist()]
+        import numpy as np
+
+        src = pa.array(
+            np.repeat(batch.column("url").to_numpy(zero_copy_only=False), counts),
+            pa.string(),
+        )
+        combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = combined.flatten()  # offset-aware, zero-copy
+        return pa.table({"src_url": src, "dst_url": flat.cast(pa.string())})
+
+    return (
+        extracted.select_columns(["url", "links"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["src_url", "dst_url"])
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["src_url", "dst_url", "n_anchors"]),
+            batch_format="pyarrow",
+        )
+    )
