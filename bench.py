@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling     # same job at 8 and 32 CPUs in fresh
+                                  # processes + scaling efficiency
+
+Headline pipeline (the flagship, at bench scale): synthesize a
+Common-Crawl-style pages table over a scaled id universe -> actor-pool HTML
+extraction (byte-identical text invariant) -> link edge table -> dense
+renumber -> partitioned CSR graph -> multi-level Louvain + 10 PageRank
+iterations + CC + LPA + triangles; plus the training-data ops (minhash
+signatures, cosine top-k) over documents/embeddings.
+
+The scaling metric is edge-entries processed per second across the Louvain
+sweeps + PageRank iterations (deterministic work per run), measured at two
+num_cpus levels in fresh processes — the sandbox stand-in for the north
+rule's N vs 4N cluster sizes (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGES_MULT = int(os.environ.get("GRAFT_PAGES_MULT", "8"))
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+        )
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parallel_louvain_method_ray._pickle import ensure_registered
+    from parallel_louvain_method_ray.algos.components import connected_components
+    from parallel_louvain_method_ray.algos.louvain import louvain
+    from parallel_louvain_method_ray.algos.lpa import label_propagation
+    from parallel_louvain_method_ray.algos.pagerank import pagerank
+    from parallel_louvain_method_ray.algos.triangles import triangle_counts
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.dedup.minhash import minhash_signatures
+    from parallel_louvain_method_ray.graph.build import build_graph
+    from parallel_louvain_method_ray.pipelines.web_graph import renumber_urls
+    from parallel_louvain_method_ray.sim.search import (
+        cosine_topk,
+        queries_from_dataset,
+    )
+    from parallel_louvain_method_ray.web.extract import extract_pages, links_to_edges
+    from parallel_louvain_method_ray.web.pages import synthesize_pages
+
+    ensure_registered()
+    cfg = EngineConfig(num_partitions=max(8, num_cpus))
+    timings: dict[str, float] = {}
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+    n_pages = n_docs * PAGES_MULT
+
+    # ---- extract: pages -> text+links -> (src_url, dst_url) edges --------
+    t0 = time.time()
+    ids = ray.data.range(n_pages).map_batches(
+        lambda b: pa.table({"doc_id": b.column("id")}), batch_format="pyarrow"
+    )
+    pages = synthesize_pages(
+        ids, n_pages=n_pages, n_domains=max(50, n_pages // 400), n_hub_pages=3
+    )
+    extracted = extract_pages(
+        pages, concurrency=(2, max(2, num_cpus)), batch_size=256
+    ).materialize()
+    bad = extracted.map_batches(
+        lambda b: pa.table(
+            {"bad": [int(len(b) - pa.compute.sum(b.column("text_ok")).as_py())]}
+        ),
+        batch_format="pyarrow",
+    ).sum("bad")
+    assert not bad, f"text invariant violated on {bad} pages"
+    edges_str = links_to_edges(extracted).materialize()
+    timings["extract"] = time.time() - t0
+
+    # ---- graph build ------------------------------------------------------
+    t0 = time.time()
+    edges, vertices, n = renumber_urls(edges_str)
+    graph = build_graph(edges, cfg, n_vertices=n)
+    timings["graph_build"] = time.time() - t0
+
+    # ---- louvain ----------------------------------------------------------
+    t0 = time.time()
+    res = louvain(graph, cfg, m_mode="weight")
+    timings["louvain"] = time.time() - t0
+    louvain_sweeps = sum(l.sweeps for l in res.levels)
+
+    # ---- pagerank (10 fixed iterations) ------------------------------------
+    t0 = time.time()
+    ranks, pr_meta = pagerank(graph, tol=0.0, max_iter=10)
+    timings["pagerank"] = time.time() - t0
+
+    # ---- cc / lpa / triangles ----------------------------------------------
+    t0 = time.time()
+    labels, _ = connected_components(graph)
+    timings["cc"] = time.time() - t0
+    t0 = time.time()
+    lpa_labels, _ = label_propagation(graph, max_sweeps=5)
+    timings["lpa"] = time.time() - t0
+    t0 = time.time()
+    tri, total_tri = triangle_counts(graph)
+    timings["triangles"] = time.time() - t0
+
+    # ---- training-data ops --------------------------------------------------
+    t0 = time.time()
+    full_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_sigs = minhash_signatures(full_docs).count()
+    timings["dedup_minhash"] = time.time() - t0
+    t0 = time.time()
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qids, qmat = queries_from_dataset(emb, [0, 1, 2, 3, 4])
+    topk = cosine_topk(emb, qmat, qids, k=10)
+    timings["cosine_topk"] = time.time() - t0
+
+    total = sum(timings.values())
+    # deterministic edge work: every sweep/iteration touches every entry once
+    edge_work = graph.n_entries * (louvain_sweeps + pr_meta["iterations"])
+    graph_secs = timings["louvain"] + timings["pagerank"]
+    return {
+        "metric": "flagship_pipeline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_vertices": graph.n,
+        "n_entries": graph.n_entries,
+        "louvain_sweeps": louvain_sweeps,
+        "louvain_modularity": round(res.modularity, 6),
+        "n_triangles": int(total_tri),
+        "edges_per_sec": round(edge_work / graph_secs, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        eps8 = results[8]["edges_per_sec"]
+        eps32 = results[32]["edges_per_sec"]
+        eff = (eps32 / eps8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "queries": {
+                        "edges_per_sec_8cpu": eps8,
+                        "edges_per_sec_32cpu": eps32,
+                        "total_sec_8cpu": results[8]["value"],
+                        "total_sec_32cpu": results[32]["value"],
+                    },
+                    "sf": results[32]["sf"],
+                    "num_cpus": 32,
+                }
+            )
+        )
+        return
+
+    result = run_bench(sf_dir, num_cpus)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,7 @@ def local_move_sweep(
     deg: np.ndarray,
     m2: float,
     tie_break: str = "canonical",
+    csize: np.ndarray | None = None,
 ) -> int:
     """One Gauss-Seidel sweep over the local vertices `vids` (ascending).
 
@@ -103,9 +104,26 @@ def local_move_sweep(
                     best = int(cands[winners[np.argmin(cand_first[winners])]])
                 else:
                     best = int(cands[winners[0]])  # uniq sorted -> min comm id
+                    # Singleton-swap guard (Lu/Halappanavar/Kalyanaraman,
+                    # "Parallel heuristics for scalable community detection",
+                    # 2015): in a synchronous sweep two singleton vertices can
+                    # endlessly swap into each other's community; allow a
+                    # singleton -> singleton move only toward the SMALLER
+                    # community id. Disabled in reference mode (sequential
+                    # Gauss-Seidel has no concurrent moves).
+                    if (
+                        csize is not None
+                        and best > c_own
+                        and csize[c_own] == 1
+                        and csize[best] == 1
+                    ):
+                        best = c_own
 
         comm[v] = best
         tot[best] += dv
         if best != c_own:
             moves += 1
+            if csize is not None:
+                csize[c_own] -= 1
+                csize[best] += 1
     return moves

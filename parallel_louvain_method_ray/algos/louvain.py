@@ -53,6 +53,7 @@ def _sweep_pass(
     tot_ref,
     tie_break: str,
     m2: float | None = None,
+    csize_ref=None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Run the local-move kernel on every shard; returns (changed_vids,
     new_comms, moves). Each task copies the broadcast state (its snapshot)
@@ -69,6 +70,9 @@ def _sweep_pass(
             # on how shards happen to be packed into blocks/batches
             assign = np.array(ray.get(assign_ref))
             tot = np.array(ray.get(tot_ref))
+            csize = (
+                np.array(ray.get(csize_ref)) if csize_ref is not None else None
+            )
             before = assign[shard.vids].copy()
             local_move_sweep(
                 shard.vids,
@@ -80,6 +84,7 @@ def _sweep_pass(
                 deg,
                 m2,
                 tie_break=tie_break,
+                csize=csize,
             )
             changed = assign[shard.vids] != before
             out_v.append(shard.vids[changed])
@@ -251,12 +256,24 @@ def louvain_level(
     metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
     metrics.modularity_before = modularity(graph, assign, m_mode)
     improved = prior_improved
-    last_q = metrics.modularity_before
+    best_q = metrics.modularity_before
+    best_assign = assign.copy()
     stall = 0
+    prev_moves = np.iinfo(np.int64).max
     for sweep in range(start_sweep, cfg.max_sweeps):
         tot = np.bincount(assign, weights=deg, minlength=n)
+        csize_ref = (
+            ray.put(np.bincount(assign, minlength=n))
+            if tie_break == "canonical"
+            else None
+        )
         cv, cc, moves = _sweep_pass(
-            graph, ray.put(assign), ray.put(tot), tie_break, _m2(graph, m_mode)
+            graph,
+            ray.put(assign),
+            ray.put(tot),
+            tie_break,
+            _m2(graph, m_mode),
+            csize_ref=csize_ref,
         )
         if moves:
             assign[cv] = cc
@@ -267,16 +284,28 @@ def louvain_level(
             on_sweep(sweep, assign, moves)
         if moves == 0:
             break
-        # oscillation guard (P>1 only; at P=1 the kernel is exactly the
-        # sequential algorithm and terminates via moves==0)
-        q = modularity(graph, assign, m_mode)
-        if q - last_q < cfg.stall_eps:
-            stall += 1
-            if stall >= cfg.stall_sweeps:
-                break
+        # Oscillation guard (P>1 only; at P=1 the kernel is exactly the
+        # sequential algorithm and terminates via moves==0). Tracks the
+        # BEST modularity seen — an up/down 2-cycle never beats its own
+        # peak, so it stalls out; on abort the best snapshot is restored.
+        # The (exact, one-pass) modularity check only runs when the move
+        # count stops strictly decreasing — while moves shrink the sweep is
+        # converging and the extra pass would be pure overhead.
+        if moves >= prev_moves:
+            q = modularity(graph, assign, m_mode)
+            if q > best_q + cfg.stall_eps:
+                best_q = q
+                best_assign = assign.copy()
+                stall = 0
+            else:
+                stall += 1
+                if stall >= cfg.stall_sweeps:
+                    assign = best_assign
+                    break
         else:
+            best_assign = assign.copy()
             stall = 0
-        last_q = q
+        prev_moves = moves
     metrics.modularity_after = modularity(graph, assign, m_mode)
     metrics.n_communities = int(np.unique(assign).shape[0])
     return assign, improved, metrics
@@ -301,13 +330,21 @@ def louvain(
     m_mode: str = "count",
 ) -> LouvainResult:
     """Multi-level Louvain: (level sweeps -> coarsen) until a level makes no
-    move. Assignment composition across levels is maintained driver-side."""
+    move. Assignment composition across levels is maintained driver-side.
+
+    The reported `modularity` is computed on the ORIGINAL (level-0) graph
+    under the composed assignments — per-level Q values (in `levels`) use
+    each level's own `m` (reference ecount semantics, `community.cpp:51`)
+    and are NOT comparable across levels: the count-m quirk plus the
+    reference's self-loop-free `in` make coarse-level Q a different scale.
+    """
     cfg = config or DEFAULT_CONFIG
     graph = (
         edges
         if isinstance(edges, GraphHandle)
         else build_graph(edges, cfg)
     )
+    graph0 = graph
     membership = np.arange(graph.n, dtype=np.int64)
     levels: list[LevelMetrics] = []
     final_q = 0.0
@@ -318,6 +355,10 @@ def louvain(
         if resumed is not None:
             (graph, membership, levels, start_level, start_sweep,
              start_assign, resumed_improved) = resumed
+            if start_level > 0:
+                graph0 = checkpointer.load_level_graph(0) or graph
+            else:
+                graph0 = graph
     for level in range(start_level, cfg.max_levels):
         on_sweep = None
         if checkpointer is not None:
@@ -349,6 +390,6 @@ def louvain(
         graph = coarse
     return LouvainResult(
         assignments=canonicalize_labels(membership),
-        modularity=final_q,
+        modularity=modularity(graph0, membership, m_mode),
         levels=levels,
     )

@@ -78,6 +78,13 @@ class SequentialLouvain:
         c = self.csr
         vids = np.arange(c.n, dtype=np.int64)
         improvement = False
+        # canonical mode includes the singleton-swap guard (see
+        # _local_move.py) so the engine's P=1 path stays bit-identical
+        csize = (
+            np.bincount(self.comm, minlength=c.n)
+            if self.tie_break == "canonical"
+            else None
+        )
         while True:
             moves = local_move_sweep(
                 vids,
@@ -89,6 +96,7 @@ class SequentialLouvain:
                 self.deg,
                 2.0 * c.m,
                 tie_break=self.tie_break,
+                csize=csize,
             )
             if moves > 0:
                 improvement = True
@@ -129,9 +137,13 @@ def louvain_reference(
     per invocation and the user re-runs it on the written coarse graph —
     `src/main_distributed_community.cpp:41-69`; this automates that loop).
 
-    Returns (assignments over original vids, final modularity, level metrics).
+    Returns (assignments over original vids, final modularity, level
+    metrics). Final modularity is computed on the ORIGINAL graph under the
+    composed assignments (per-level Q uses each level's own m — reference
+    ecount semantics — and is not comparable across levels).
     """
     csr = SequentialCSR(src, dst, w)
+    csr0 = csr
     membership = np.arange(csr.n, dtype=np.int64)
     levels = []
     mod = None
@@ -160,4 +172,11 @@ def louvain_reference(
         if not improved:
             break
         csr = coarse
-    return membership, float(mod), levels
+    # final Q on the original graph under the composed assignments
+    m2 = 2.0 * csr0.m
+    mask = (csr0.src != csr0.cols) & (membership[csr0.src] == membership[csr0.cols])
+    intra = float(csr0.weights[mask].sum())
+    tot = np.bincount(membership, weights=csr0.degrees(), minlength=csr0.n)
+    nz = tot > 0
+    final_q = intra / m2 - float(((tot[nz] / m2) ** 2).sum())
+    return membership, final_q, levels

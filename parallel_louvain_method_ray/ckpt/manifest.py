@@ -96,9 +96,11 @@ class LouvainCheckpointer:
             )
 
         # per-partition lineage from the shard metadata + content hash
+        # (a pid may be split into several sub-shards — key on pid/first-vid)
         for b in graph.shards.iter_batches(batch_format="pyarrow"):
             for shard in unpack_shards(pa.table(b)):
-                lineage[str(shard.pid)] = {
+                first_vid = int(shard.vids[0]) if shard.vids.shape[0] else -1
+                lineage[f"{shard.pid}/{first_vid}"] = {
                     "n_entries": shard.n_entries,
                     "hash": _arr_hash(shard.cols) + _arr_hash(shard.weights),
                 }
@@ -147,6 +149,20 @@ class LouvainCheckpointer:
                 if os.path.exists(os.path.join(self.dir, name, "manifest.json")):
                     out.append(lv)
         return sorted(out)
+
+    def load_level_graph(self, level: int):
+        """Rebuild a checkpointed level's graph (None if not checkpointed)."""
+        ld = self._level_dir(level)
+        if not os.path.exists(os.path.join(ld, "manifest.json")):
+            return None
+        import ray.data
+
+        with open(os.path.join(ld, "manifest.json")) as f:
+            man = json.load(f)
+        edges = ray.data.read_parquet(os.path.join(ld, "edges.parquet"))
+        return build_graph(
+            edges, self.config, already_symmetrized=True, n_vertices=man["n"]
+        )
 
     def resume(self):
         """Returns (graph, membership, levels_meta, start_level,

@@ -45,6 +45,11 @@ class EngineConfig:
     # aggregations (None = auto from the degree histogram).
     hub_degree_threshold: int | None = None
 
+    # A partition with more CSR entries than this is split into multiple
+    # shard rows on vertex boundaries (hub-skew straggler defense — see
+    # csr.pack_shard_table).
+    max_entries_per_shard: int = 4_000_000
+
     # Checkpoint directory (None = no checkpointing).
     checkpoint_dir: str | None = None
 

@@ -164,7 +164,7 @@ def near_dup_pairs_minhash(
     def shingles_of(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         keep = [i for i, d in enumerate(ids.tolist()) if d in need_set]
-        sub = batch.take(keep)
+        sub = batch.take(pa.array(keep, type=pa.int64()))
         return pa.table(
             {
                 "doc_id": sub.column("doc_id"),

@@ -190,10 +190,15 @@ def build_graph(
         pid = (src % P).astype(np.int64)
         return t.append_column("pid", pa.array(pid, type=pa.int64()))
 
+    max_entries = cfg.max_entries_per_shard
+
+    def pack(group: pa.Table) -> pa.Table:
+        return pack_shard_table(group, max_entries_per_shard=max_entries)
+
     shards = (
         edges.map_batches(prep, batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(pack_shard_table, batch_format="pyarrow")
+        .map_groups(pack, batch_format="pyarrow")
         .materialize()
     )
 

@@ -85,12 +85,22 @@ def dedup_sorted_entries(
     return src[keep], dst[keep], w[keep]
 
 
-def pack_shard_table(group: pa.Table) -> pa.Table:
-    """Pack one partition's `(pid, src, dst, weight)` rows into a single
-    CSR-shard row (SHARD_SCHEMA). Input may contain duplicate triples; they
-    are deduped here, making partition-local dedup equal to global dedup
+def pack_shard_table(
+    group: pa.Table, max_entries_per_shard: int = 4_000_000
+) -> pa.Table:
+    """Pack one partition's `(pid, src, dst, weight)` rows into CSR-shard
+    row(s) (SHARD_SCHEMA). Input may contain duplicate triples; they are
+    deduped here, making partition-local dedup equal to global dedup
     because the dedup key (src, dst, weight) is a superset of the partition
-    key hash(src)."""
+    key hash(src).
+
+    Skew defense: a partition whose entry count exceeds
+    `max_entries_per_shard` (hub-heavy pid) is SPLIT into multiple shard
+    rows on vertex boundaries — each vertex's full CSR row stays within one
+    shard (local-move semantics intact), but downstream map_batches can
+    schedule the sub-shards independently instead of one straggler task
+    owning the whole hub partition.
+    """
     pid = int(group.column("pid")[0].as_py())
     src = group.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     dst = group.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -102,19 +112,38 @@ def pack_shard_table(group: pa.Table) -> pa.Table:
     np.cumsum(counts, out=indptr[1:])
     max_vid = int(max(src.max(), dst.max())) if src.shape[0] else -1
 
-    return pa.Table.from_pydict(
-        {
-            "pid": [pid],
-            "n_vertices": [int(vids.shape[0])],
-            "n_entries": [int(src.shape[0])],
-            "max_vid": [max_vid],
-            "vids": [vids],
-            "indptr": [indptr],
-            "cols": [dst],
-            "weights": [w],
-        },
-        schema=SHARD_SCHEMA,
-    )
+    # split points on vertex boundaries (vectorized: one searchsorted per cut)
+    cuts = [0]
+    nv = vids.shape[0]
+    while cuts[-1] < nv:
+        target = indptr[cuts[-1]] + max_entries_per_shard
+        nxt = int(np.searchsorted(indptr, target, side="left"))
+        nxt = max(nxt, cuts[-1] + 1)  # always advance at least one vertex
+        cuts.append(min(nxt, nv))
+
+    rows = {k: [] for k in (
+        "pid", "n_vertices", "n_entries", "max_vid", "vids", "indptr", "cols", "weights"
+    )}
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        lo, hi = indptr[a], indptr[b]
+        rows["pid"].append(pid)
+        rows["n_vertices"].append(int(b - a))
+        rows["n_entries"].append(int(hi - lo))
+        rows["max_vid"].append(max_vid if a == 0 else -1)  # count once per pid
+        rows["vids"].append(vids[a:b])
+        rows["indptr"].append(indptr[a : b + 1] - lo)
+        rows["cols"].append(dst[lo:hi])
+        rows["weights"].append(w[lo:hi])
+    if not rows["pid"]:
+        rows["pid"].append(pid)
+        rows["n_vertices"].append(0)
+        rows["n_entries"].append(0)
+        rows["max_vid"].append(-1)
+        rows["vids"].append(np.empty(0, np.int64))
+        rows["indptr"].append(np.zeros(1, np.int64))
+        rows["cols"].append(np.empty(0, np.int64))
+        rows["weights"].append(np.empty(0, np.float64))
+    return pa.Table.from_pydict(rows, schema=SHARD_SCHEMA)
 
 
 def unpack_shards(batch: pa.Table) -> list[CSRShard]:

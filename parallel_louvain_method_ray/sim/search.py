@@ -114,7 +114,7 @@ def queries_from_dataset(
     def pick(batch: pa.Table) -> pa.Table:
         v = batch.column("vec_id").to_numpy(zero_copy_only=False)
         keep = [i for i, x in enumerate(v.tolist()) if x in want]
-        return batch.take(keep)
+        return batch.take(pa.array(keep, type=pa.int64()))
 
     t = pa.concat_tables(
         [
