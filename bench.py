@@ -103,18 +103,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["louvain"] = time.time() - t0
     louvain_sweeps = sum(l.sweeps for l in res.levels)
 
+    # one warm shard pool shared by the remaining iterative algorithms
+    from parallel_louvain_method_ray.state.shard_pool import ShardPool
+
+    shared_pool = ShardPool(graph)
+
     # ---- pagerank (10 fixed iterations) ------------------------------------
     t0 = time.time()
-    ranks, pr_meta = pagerank(graph, tol=0.0, max_iter=10)
+    ranks, pr_meta = pagerank(graph, tol=0.0, max_iter=10, pool=shared_pool)
     timings["pagerank"] = time.time() - t0
 
     # ---- cc / lpa / triangles ----------------------------------------------
     t0 = time.time()
-    labels, _ = connected_components(graph)
+    labels, _ = connected_components(graph, pool=shared_pool)
     timings["cc"] = time.time() - t0
     t0 = time.time()
-    lpa_labels, _ = label_propagation(graph, max_sweeps=5)
+    lpa_labels, _ = label_propagation(graph, max_sweeps=5, pool=shared_pool)
     timings["lpa"] = time.time() - t0
+    shared_pool.shutdown()
     t0 = time.time()
     tri, total_tri = triangle_counts(graph)
     timings["triangles"] = time.time() - t0
@@ -155,9 +161,86 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
+    """The scaling-evidence job: the SAME deterministic link graph (derived
+    from the sf dir's documents id universe via the pages generator's link
+    function — no HTML stage, so the measurement isolates the graph
+    engine), multi-level Louvain + 10 PageRank iterations. Reported
+    edges_per_sec = entry-touches per second over the iterative phases."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parallel_louvain_method_ray._pickle import ensure_registered
+    from parallel_louvain_method_ray.algos.louvain import louvain
+    from parallel_louvain_method_ray.algos.pagerank import pagerank
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import build_graph
+    from parallel_louvain_method_ray.web.pages import page_links
+
+    ensure_registered()
+    # FIXED partition count: both scaling legs must run the identical graph
+    # layout — only the CPU count varies (N vs 4N stand-in)
+    cfg = EngineConfig(num_partitions=32)
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    n_pages = n_docs * mult
+    n_domains = max(50, n_pages // 400)
+
+    def gen_edges(batch: pa.Table) -> pa.Table:
+        out_s, out_d = [], []
+        for i in batch.column("id").to_numpy(zero_copy_only=False).tolist():
+            for _, j in page_links(int(i), n_pages, n_domains, 6, 3, 30, 1):
+                out_s.append(i)
+                out_d.append(j)
+        return pa.table(
+            {
+                "src": pa.array(out_s, pa.int64()),
+                "dst": pa.array(out_d, pa.int64()),
+                "weight": pa.array([1.0] * len(out_s), pa.float64()),
+            }
+        )
+
+    edges = ray.data.range(n_pages).map_batches(gen_edges, batch_format="pyarrow")
+    t0 = time.time()
+    graph = build_graph(edges, cfg, n_vertices=n_pages)
+    t_build = time.time() - t0
+    t0 = time.time()
+    res = louvain(graph, cfg, m_mode="weight")
+    t_louvain = time.time() - t0
+    t0 = time.time()
+    ranks, pr_meta = pagerank(graph, tol=0.0, max_iter=10)
+    t_pr = time.time() - t0
+    sweeps = sum(l.sweeps for l in res.levels)
+    edge_work = graph.n_entries * (sweeps + pr_meta["iterations"])
+    return {
+        "metric": "graph_engine_scaling_unit",
+        "value": round(t_build + t_louvain + t_pr, 3),
+        "unit": "sec",
+        "queries": {
+            "graph_build": round(t_build, 3),
+            "louvain": round(t_louvain, 3),
+            "pagerank": round(t_pr, 3),
+        },
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "n_entries": graph.n_entries,
+        "louvain_sweeps": sweeps,
+        "louvain_modularity": round(res.modularity, 6),
+        "edges_per_sec": round(edge_work / (t_louvain + t_pr), 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--job", choices=["flagship", "scaling-unit"], default="flagship")
+    ap.add_argument("--mult", type=int, default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -165,12 +248,20 @@ def main() -> None:
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
+        mult = args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "64"))
         results = {}
         for cpus in (8, 32):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--job",
+                    "scaling-unit",
+                    "--mult",
+                    str(mult),
+                ],
                 env=env,
                 capture_output=True,
                 text=True,
@@ -199,7 +290,12 @@ def main() -> None:
         )
         return
 
-    result = run_bench(sf_dir, num_cpus)
+    if args.job == "scaling-unit":
+        result = run_scaling_unit(
+            sf_dir, num_cpus, args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "64"))
+        )
+    else:
+        result = run_bench(sf_dir, num_cpus)
     import ray
 
     ray.shutdown()

@@ -19,14 +19,34 @@ from parallel_louvain_method_ray.graph.csr import unpack_shards
 
 
 def connected_components(
-    graph: GraphHandle, max_rounds: int = 200, on_round=None
+    graph: GraphHandle, max_rounds: int = 200, on_round=None, use_pool: bool = True, pool=None
 ) -> tuple[np.ndarray, dict]:
     """Requires a symmetrized graph. Returns (labels int64[n], metrics);
     vertices absent from the edge set keep label = own vid (isolated)."""
     n = graph.n
     labels = np.arange(n, dtype=np.int64)
     rounds = 0
+    own_pool = False
+    if pool is None and use_pool:
+        from parallel_louvain_method_ray.state.shard_pool import ShardPool
+
+        pool = ShardPool(graph)
+        own_pool = True
+    elif pool is not None and pool.graph is not graph:
+        pool.reload(graph)
     while rounds < max_rounds:
+        if pool is not None:
+            changed = 0
+            for vid, lab in pool.cc_round(labels):
+                if vid.shape[0]:
+                    np.minimum.at(labels, vid, lab)
+                    changed += vid.shape[0]
+            rounds += 1
+            if on_round is not None:
+                on_round(rounds, labels, changed)
+            if changed == 0:
+                break
+            continue
         lab_ref = ray.put(labels)
 
         def kernel(batch: pa.Table) -> pa.Table:
@@ -71,6 +91,8 @@ def connected_components(
             on_round(rounds, labels, changed)
         if changed == 0:
             break
+    if pool is not None and own_pool:
+        pool.shutdown()
     return labels, {"rounds": rounds}
 
 

@@ -144,19 +144,23 @@ def _m2(graph: GraphHandle, m_mode: str) -> float:
     return 2.0 * graph.m if m_mode == "count" else graph.total_weight
 
 
-def modularity(graph: GraphHandle, assign: np.ndarray, m_mode: str = "count") -> float:
+def modularity(
+    graph: GraphHandle, assign: np.ndarray, m_mode: str = "count", pool=None
+) -> float:
     """Q = intra/2m - sum_{tot_c>0} (tot_c/2m)^2  (`community.cpp:49-60`)."""
     m2 = _m2(graph, m_mode)
     deg = graph.degrees()
     tot = np.bincount(assign, weights=deg, minlength=graph.n)
-    assign_ref = ray.put(assign)
-    intra = intra_community_weight(graph, assign_ref)
+    if pool is not None:
+        intra = pool.intra_weight(assign)
+    else:
+        intra = intra_community_weight(graph, ray.put(assign))
     nz = tot > 0
     return intra / m2 - float(((tot[nz] / m2) ** 2).sum())
 
 
 def coarsen(
-    graph: GraphHandle, assign: np.ndarray
+    graph: GraphHandle, assign: np.ndarray, pool=None
 ) -> tuple[GraphHandle, np.ndarray]:
     """Contract communities: entries grouped by (comm[src], comm[dst]) with
     weights summed — including self-loops (`community.cpp:181-191`).
@@ -165,6 +169,16 @@ def coarsen(
     old = np.unique(assign)
     dense = np.searchsorted(old, assign).astype(np.int64)
     ncomms = int(old.shape[0])
+    if pool is not None:
+        # actor-side partial contraction + driver merge (coarse graphs are
+        # small; the Dataset-groupby path below is the large-coarse fallback)
+        csrc, cdst, cw = pool.contract(dense, ncomms)
+        from parallel_louvain_method_ray.graph.build import build_graph_small
+
+        coarse = build_graph_small(
+            csrc, cdst, cw, graph.config, n_vertices=ncomms
+        )
+        return coarse, dense
     dense_ref = ray.put(dense)
 
     def contract(batch: pa.Table) -> pa.Table:
@@ -240,6 +254,7 @@ def louvain_level(
     start_sweep: int = 0,
     m_mode: str = "count",
     prior_improved: bool = False,
+    pool=None,
 ) -> tuple[np.ndarray, bool, LevelMetrics]:
     """One Louvain level (the reference's `iterate()`,
     `community.cpp:64-102`): BSP sweeps until 0 moves. Returns
@@ -254,7 +269,7 @@ def louvain_level(
         else np.arange(n, dtype=np.int64)
     )
     metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
-    metrics.modularity_before = modularity(graph, assign, m_mode)
+    metrics.modularity_before = modularity(graph, assign, m_mode, pool=pool)
     improved = prior_improved
     best_q = metrics.modularity_before
     best_assign = assign.copy()
@@ -262,19 +277,22 @@ def louvain_level(
     prev_moves = np.iinfo(np.int64).max
     for sweep in range(start_sweep, cfg.max_sweeps):
         tot = np.bincount(assign, weights=deg, minlength=n)
-        csize_ref = (
-            ray.put(np.bincount(assign, minlength=n))
-            if tie_break == "canonical"
-            else None
+        csize = (
+            np.bincount(assign, minlength=n) if tie_break == "canonical" else None
         )
-        cv, cc, moves = _sweep_pass(
-            graph,
-            ray.put(assign),
-            ray.put(tot),
-            tie_break,
-            _m2(graph, m_mode),
-            csize_ref=csize_ref,
-        )
+        if pool is not None:
+            cv, cc, moves = pool.sweep(
+                assign, tot, csize, _m2(graph, m_mode), tie_break
+            )
+        else:
+            cv, cc, moves = _sweep_pass(
+                graph,
+                ray.put(assign),
+                ray.put(tot),
+                tie_break,
+                _m2(graph, m_mode),
+                csize_ref=ray.put(csize) if csize is not None else None,
+            )
         if moves:
             assign[cv] = cc
             improved = True
@@ -292,7 +310,7 @@ def louvain_level(
         # count stops strictly decreasing — while moves shrink the sweep is
         # converging and the extra pass would be pure overhead.
         if moves >= prev_moves:
-            q = modularity(graph, assign, m_mode)
+            q = modularity(graph, assign, m_mode, pool=pool)
             if q > best_q + cfg.stall_eps:
                 best_q = q
                 best_assign = assign.copy()
@@ -306,9 +324,113 @@ def louvain_level(
             best_assign = assign.copy()
             stall = 0
         prev_moves = moves
-    metrics.modularity_after = modularity(graph, assign, m_mode)
+    metrics.modularity_after = modularity(graph, assign, m_mode, pool=pool)
     metrics.n_communities = int(np.unique(assign).shape[0])
     return assign, improved, metrics
+
+
+def _collect_entries(graph: GraphHandle):
+    """Driver-side (src, dst, w) arrays of a SMALL graph's entry list."""
+    from parallel_louvain_method_ray.graph.csr import shard_to_entries
+
+    srcs, dsts, ws = [], [], []
+    for b in graph.shards.iter_batches(batch_format="pyarrow"):
+        for shard in unpack_shards(pa.table(b)):
+            s, d, w = shard_to_entries(shard)
+            srcs.append(s)
+            dsts.append(d)
+            ws.append(w)
+    if not srcs:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+        )
+    return np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws)
+
+
+def _driver_level(
+    graph: GraphHandle,
+    cfg: EngineConfig,
+    tie_break: str,
+    m_mode: str,
+    on_sweep=None,
+    start_assign: np.ndarray | None = None,
+    start_sweep: int = 0,
+    prior_improved: bool = False,
+) -> tuple[np.ndarray, bool, LevelMetrics, tuple]:
+    """Small-level fast path: the whole level runs driver-local with the
+    SAME kernel in strict Gauss-Seidel order (P=1 semantics — below
+    `driver_local_entries` a distributed round is pure fixed cost and
+    sequential local moves converge strictly). Returns the collected entry
+    arrays too so the caller can coarsen without another collect."""
+    n = graph.n
+    src, dst, w = _collect_entries(graph)
+    order = np.lexsort((w, dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+    vids = np.arange(n, dtype=np.int64)
+    deg = graph.degrees()
+    m2 = _m2(graph, m_mode)
+
+    def local_q(a: np.ndarray) -> float:
+        mask = (src != dst) & (a[src] == a[dst])
+        intra = float(w[mask].sum())
+        tot_ = np.bincount(a, weights=deg, minlength=n)
+        nz = tot_ > 0
+        return intra / m2 - float(((tot_[nz] / m2) ** 2).sum())
+
+    assign = (
+        start_assign.copy()
+        if start_assign is not None
+        else np.arange(n, dtype=np.int64)
+    )
+    metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
+    metrics.modularity_before = local_q(assign)
+    improved = prior_improved
+    csize = np.bincount(assign, minlength=n) if tie_break == "canonical" else None
+    tot = np.bincount(assign, weights=deg, minlength=n)
+    for sweep in range(start_sweep, cfg.max_sweeps):
+        moves = local_move_sweep(
+            vids, indptr, dst, w, assign, tot, deg, m2,
+            tie_break=tie_break, csize=csize,
+        )
+        metrics.sweeps += 1
+        metrics.moves += moves
+        if moves:
+            improved = True
+        if on_sweep is not None:
+            on_sweep(sweep, assign, moves)
+        if moves == 0:
+            break
+    metrics.modularity_after = local_q(assign)
+    metrics.n_communities = int(np.unique(assign).shape[0])
+    return assign, improved, metrics, (src, dst, w)
+
+
+def _driver_coarsen(
+    assign: np.ndarray, entries: tuple, cfg: EngineConfig
+) -> tuple[GraphHandle, np.ndarray]:
+    """Driver-local contraction (identical semantics to `coarsen`)."""
+    from parallel_louvain_method_ray.graph.build import build_graph_small
+
+    src, dst, w = entries
+    old = np.unique(assign)
+    dense = np.searchsorted(old, assign).astype(np.int64)
+    ncomms = int(old.shape[0])
+    key = dense[src] * np.int64(ncomms) + dense[dst]
+    uk, inv = np.unique(key, return_inverse=True)
+    wsum = np.zeros(uk.shape[0], dtype=np.float64)
+    np.add.at(wsum, inv, w)
+    coarse = build_graph_small(
+        (uk // ncomms).astype(np.int64),
+        (uk % ncomms).astype(np.int64),
+        wsum,
+        cfg,
+        n_vertices=ncomms,
+    )
+    return coarse, dense
 
 
 def canonicalize_labels(labels: np.ndarray) -> np.ndarray:
@@ -328,6 +450,7 @@ def louvain(
     tie_break: str = "canonical",
     checkpointer=None,
     m_mode: str = "count",
+    use_pool: bool = True,
 ) -> LouvainResult:
     """Multi-level Louvain: (level sweeps -> coarsen) until a level makes no
     move. Assignment composition across levels is maintained driver-side.
@@ -359,21 +482,44 @@ def louvain(
                 graph0 = checkpointer.load_level_graph(0) or graph
             else:
                 graph0 = graph
-    for level in range(start_level, cfg.max_levels):
+    from parallel_louvain_method_ray.state.shard_pool import ShardPool
+
+    pool = None
+    try:
+      for level in range(start_level, cfg.max_levels):
         on_sweep = None
         if checkpointer is not None:
             checkpointer.begin_level(level, graph, membership)
             on_sweep = lambda s, a, mv: checkpointer.on_sweep(level, s, a, mv)
-        assign, improved, metrics = louvain_level(
-            graph,
-            cfg,
-            tie_break,
-            on_sweep=on_sweep,
-            start_assign=start_assign if level == start_level else None,
-            start_sweep=start_sweep if level == start_level else 0,
-            m_mode=m_mode,
-            prior_improved=resumed_improved if level == start_level else False,
-        )
+        local = graph.n_entries <= cfg.driver_local_entries
+        if not local and use_pool:
+            if pool is None:
+                pool = ShardPool(graph)
+            elif pool.graph is not graph:
+                pool.reload(graph)
+        if local:
+            assign, improved, metrics, entries = _driver_level(
+                graph,
+                cfg,
+                tie_break,
+                m_mode,
+                on_sweep=on_sweep,
+                start_assign=start_assign if level == start_level else None,
+                start_sweep=start_sweep if level == start_level else 0,
+                prior_improved=resumed_improved if level == start_level else False,
+            )
+        else:
+            assign, improved, metrics = louvain_level(
+                graph,
+                cfg,
+                tie_break,
+                on_sweep=on_sweep,
+                start_assign=start_assign if level == start_level else None,
+                start_sweep=start_sweep if level == start_level else 0,
+                m_mode=m_mode,
+                prior_improved=resumed_improved if level == start_level else False,
+                pool=pool if use_pool else None,
+            )
         metrics.level = level
         if not improved and level > 0:
             # no moves: keep the previous level's converged modularity —
@@ -381,15 +527,35 @@ def louvain(
             # semantics), so an unimproved coarse level's singleton Q is
             # not the result
             break
-        coarse, dense = coarsen(graph, assign)
+        if local:
+            coarse, dense = _driver_coarsen(assign, entries, cfg)
+        else:
+            coarse, dense = coarsen(graph, assign, pool=pool if use_pool else None)
         membership = dense[membership]
         levels.append(metrics)
         final_q = metrics.modularity_after
         if not improved:
             break
         graph = coarse
+      # final Q on the ORIGINAL graph under the composed assignments
+      if graph0.n_entries <= cfg.driver_local_entries:
+          src0, dst0, w0 = _collect_entries(graph0)
+          m2 = _m2(graph0, m_mode)
+          mask = (src0 != dst0) & (membership[src0] == membership[dst0])
+          tot0 = np.bincount(membership, weights=graph0.degrees(), minlength=graph0.n)
+          nz = tot0 > 0
+          final_on_orig = float(w0[mask].sum()) / m2 - float(
+              ((tot0[nz] / m2) ** 2).sum()
+          )
+      else:
+          if pool is not None and pool.graph is not graph0:
+              pool.reload(graph0)
+          final_on_orig = modularity(graph0, membership, m_mode, pool=pool)
+    finally:
+        if pool is not None:
+            pool.shutdown()
     return LouvainResult(
         assignments=canonicalize_labels(membership),
-        modularity=modularity(graph0, membership, m_mode),
+        modularity=final_on_orig,
         levels=levels,
     )

@@ -58,12 +58,33 @@ def _best_labels_for_shard(shard, lab: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def label_propagation(
-    graph: GraphHandle, max_sweeps: int = 25, on_sweep=None
+    graph: GraphHandle, max_sweeps: int = 25, on_sweep=None, use_pool: bool = True, pool=None
 ) -> tuple[np.ndarray, dict]:
     n = graph.n
     labels = np.arange(n, dtype=np.int64)
     sweeps = 0
+    own_pool = False
+    if pool is None and use_pool:
+        from parallel_louvain_method_ray.state.shard_pool import ShardPool
+
+        pool = ShardPool(graph)
+        own_pool = True
+    elif pool is not None and pool.graph is not graph:
+        pool.reload(graph)
     for _ in range(max_sweeps):
+        if pool is not None:
+            changed = 0
+            new_labels = labels.copy()
+            for vid, lab in pool.lpa_sweep(labels):
+                new_labels[vid] = lab
+                changed += int(vid.shape[0])
+            labels = new_labels
+            sweeps += 1
+            if on_sweep is not None:
+                on_sweep(sweeps, labels, changed)
+            if changed == 0:
+                break
+            continue
         lab_ref = ray.put(labels)
 
         def kernel(batch: pa.Table) -> pa.Table:
@@ -113,6 +134,8 @@ def label_propagation(
             on_sweep(sweeps, labels, changed)
         if changed == 0:
             break
+    if pool is not None and own_pool:
+        pool.shutdown()
     return labels, {"sweeps": sweeps}
 
 

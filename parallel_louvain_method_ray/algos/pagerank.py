@@ -35,6 +35,8 @@ def pagerank(
     on_iteration=None,
     start_ranks: np.ndarray | None = None,
     start_iter: int = 0,
+    use_pool: bool = True,
+    pool=None,
 ) -> tuple[np.ndarray, dict]:
     """Returns (ranks float64[n], metrics). The graph's entry list is
     interpreted as the DIRECTED arc set (for undirected PageRank pass the
@@ -52,28 +54,21 @@ def pagerank(
     iters = 0
     delta = np.inf
 
+    own_pool = False
+    if pool is None and use_pool and max_iter - start_iter > 2:
+        from parallel_louvain_method_ray.state.shard_pool import ShardPool
+
+        pool = ShardPool(graph)
+        own_pool = True
+    elif pool is not None and pool.graph is not graph:
+        pool.reload(graph)
+
     for it in range(start_iter, max_iter):
         scaled = ranks * inv_out  # rank(u)/outdeg_w(u), 0 for dangling
-        scaled_ref = ray.put(scaled)
-
-        def contrib(batch: pa.Table) -> pa.Table:
-            s = ray.get(scaled_ref)
-            acc = np.zeros(n, dtype=np.float64)
-            for shard in unpack_shards(batch):
-                counts = np.diff(shard.indptr)
-                src = np.repeat(shard.vids, counts)
-                np.add.at(acc, shard.cols, s[src] * shard.weights)
-            nz = np.flatnonzero(acc)
-            return pa.table({"dst": nz.astype(np.int64), "partial": acc[nz]})
-
-        incoming = np.zeros(n, dtype=np.float64)
-        for b in graph.shards.map_batches(
-            contrib, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            t = pa.table(b)
-            dst = t.column("dst").to_numpy(zero_copy_only=False)
-            part = t.column("partial").to_numpy(zero_copy_only=False)
-            np.add.at(incoming, dst, part)
+        if pool is not None:
+            incoming = pool.pagerank_iter(scaled)
+        else:
+            incoming = _incoming_dataset_pass(graph, scaled, n)
 
         dangling_mass = float(ranks[dangling].sum())
         new_ranks = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
@@ -85,7 +80,34 @@ def pagerank(
         if delta < tol:
             break
 
+    if pool is not None and own_pool:
+        pool.shutdown()
     return ranks, {"iterations": iters, "l1_delta": delta}
+
+
+def _incoming_dataset_pass(graph: GraphHandle, scaled: np.ndarray, n: int) -> np.ndarray:
+    """Streaming fallback: one map_batches pass emitting sparse partials."""
+    scaled_ref = ray.put(scaled)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        s = ray.get(scaled_ref)
+        acc = np.zeros(n, dtype=np.float64)
+        for shard in unpack_shards(batch):
+            counts = np.diff(shard.indptr)
+            src = np.repeat(shard.vids, counts)
+            acc += np.bincount(shard.cols, weights=s[src] * shard.weights, minlength=n)
+        nz = np.flatnonzero(acc)
+        return pa.table({"dst": nz.astype(np.int64), "partial": acc[nz]})
+
+    incoming = np.zeros(n, dtype=np.float64)
+    for b in graph.shards.map_batches(contrib, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        part = t.column("partial").to_numpy(zero_copy_only=False)
+        np.add.at(incoming, dst, part)
+    return incoming
 
 
 def pagerank_oracle(

@@ -19,6 +19,15 @@ class EngineConfig:
     # batches stay chunky.
     num_partitions: int = 8
 
+    # Vertex partition function:
+    # - "range": contiguous vid ranges (pid = src * P // n). Dense ids come
+    #   from SORTED url/raw-id renumbering, so range partitions preserve
+    #   hostname locality — most Louvain moves become partition-local
+    #   Gauss-Seidel (fast convergence). Needs n_vertices at build time.
+    # - "mod": pid = src % P. No locality, perfectly balanced; used when n
+    #   is unknown.
+    partition_mode: str = "range"
+
     # Rows per batch for edge-stream map_batches stages.
     edge_batch_size: int = 65536
 
@@ -49,6 +58,12 @@ class EngineConfig:
     # shard rows on vertex boundaries (hub-skew straggler defense — see
     # csr.pack_shard_table).
     max_entries_per_shard: int = 4_000_000
+
+    # Louvain levels with at most this many entries run DRIVER-LOCAL
+    # (sequential Gauss-Seidel, P=1 semantics): below this size a
+    # distributed round is pure fixed cost, and sequential local moves
+    # converge better anyway. Set to 0 to force the distributed path.
+    driver_local_entries: int = 200_000
 
     # Checkpoint directory (None = no checkpointing).
     checkpoint_dir: str | None = None

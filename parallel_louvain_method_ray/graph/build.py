@@ -183,11 +183,18 @@ def build_graph(
     """
     cfg = config or DEFAULT_CONFIG
     P = cfg.num_partitions
+    use_range = cfg.partition_mode == "range" and n_vertices is not None
+    n_for_range = n_vertices or 0
 
     def prep(batch: pa.Table) -> pa.Table:
         t = batch if already_symmetrized else _symmetrize_batch(batch)
         src = t.column("src").to_numpy(zero_copy_only=False)
-        pid = (src % P).astype(np.int64)
+        if use_range:
+            # contiguous ranges preserve the hostname locality of sorted-id
+            # renumbering -> most community structure is partition-local
+            pid = np.minimum(src * P // max(n_for_range, 1), P - 1).astype(np.int64)
+        else:
+            pid = (src % P).astype(np.int64)
         return t.append_column("pid", pa.array(pid, type=pa.int64()))
 
     max_entries = cfg.max_entries_per_shard
@@ -195,10 +202,14 @@ def build_graph(
     def pack(group: pa.Table) -> pa.Table:
         return pack_shard_table(group, max_entries_per_shard=max_entries)
 
+    # repartition so each (sub-)shard row is its own block: the groupby can
+    # merge all P rows into one or two blocks, which would starve the
+    # per-block parallelism of every downstream pass (and the ShardPool)
     shards = (
         edges.map_batches(prep, batch_format="pyarrow")
         .groupby("pid")
         .map_groups(pack, batch_format="pyarrow")
+        .repartition(P)
         .materialize()
     )
 
@@ -246,6 +257,70 @@ def build_graph(
         m=n_entries // 2,
         n_entries=n_entries,
         total_weight=total_weight,
+        degrees_ref=ray.put(degrees),
+        config=cfg,
+    )
+
+
+def build_graph_small(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    config: EngineConfig | None = None,
+    *,
+    n_vertices: int,
+) -> GraphHandle:
+    """Driver-side fast path for SMALL already-symmetrized entry arrays
+    (coarse Louvain levels): pack CSR shards with numpy and publish them as
+    one Arrow table — skips the shuffle pipeline entirely. Semantically
+    identical to build_graph(already_symmetrized=True)."""
+    from parallel_louvain_method_ray.graph.csr import (
+        SHARD_SCHEMA,
+        dedup_sorted_entries,
+        pack_shard_table,
+    )
+
+    cfg = config or DEFAULT_CONFIG
+    P = cfg.num_partitions
+    src = src.astype(np.int64, copy=False)
+    dst = dst.astype(np.int64, copy=False)
+    w = w.astype(np.float64, copy=False)
+    if cfg.partition_mode == "range":
+        pid = np.minimum(src * P // max(n_vertices, 1), P - 1)
+    else:
+        pid = src % P
+    tables = []
+    for p in np.unique(pid):
+        m = pid == p
+        t = pa.table(
+            {
+                "pid": np.full(int(m.sum()), p, dtype=np.int64),
+                "src": src[m],
+                "dst": dst[m],
+                "weight": w[m],
+            }
+        )
+        tables.append(
+            pack_shard_table(t, max_entries_per_shard=cfg.max_entries_per_shard)
+        )
+    packed = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.Table.from_pydict(
+            {k: [] for k in SHARD_SCHEMA.names}, schema=SHARD_SCHEMA
+        )
+    )
+    shards = ray.data.from_arrow(packed).repartition(max(1, packed.num_rows)).materialize()
+
+    # meta + degrees directly from the arrays (dedup matches pack)
+    ds_, dd_, ww_ = dedup_sorted_entries(src, dst, w)
+    degrees = np.bincount(ds_, weights=ww_, minlength=n_vertices)
+    return GraphHandle(
+        shards=shards,
+        n=n_vertices,
+        m=int(ds_.shape[0]) // 2,
+        n_entries=int(ds_.shape[0]),
+        total_weight=float(ww_.sum()),
         degrees_ref=ray.put(degrees),
         config=cfg,
     )

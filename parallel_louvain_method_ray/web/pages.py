@@ -46,8 +46,16 @@ def _mix(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def page_url(i: int, n_domains: int) -> str:
-    return f"https://d{i % n_domains:04d}.example.com/p/{i}"
+def _pages_per_domain(n_pages: int, n_domains: int) -> int:
+    return max(1, -(-n_pages // n_domains))
+
+
+def page_url(i: int, n_pages: int, n_domains: int) -> str:
+    """Domains are BLOCKS of consecutive ids (crawls cluster by host), so
+    lexicographic url sorting -> dense renumbering preserves hostname
+    locality (what range partitioning exploits, see config.partition_mode)."""
+    d = min(i // _pages_per_domain(n_pages, n_domains), n_domains - 1)
+    return f"https://d{d:04d}.example.com/p/{i:012d}"
 
 
 def page_links(
@@ -62,20 +70,23 @@ def page_links(
     """Deterministic outlinks of page i as (href, target_id). Relative hrefs
     for intra-domain targets, absolute for the rest."""
     links: list[tuple[str, int]] = []
-    dom_span = n_domains * max(1, n_pages // n_domains)
+    ppd = _pages_per_domain(n_pages, n_domains)
+    dom_start = (i // ppd) * ppd
+    dom_size = min(ppd, n_pages - dom_start)
     for k in range(intra_links):
-        step = 1 + _mix(i * 1_000_003 + k) % max(1, n_pages // n_domains - 1)
-        j = (i + step * n_domains) % dom_span
+        if dom_size < 2:
+            break
+        j = dom_start + _mix(i * 1_000_003 + k) % dom_size
         if j != i:
-            links.append((f"/p/{j}", j))
+            links.append((f"/p/{j:012d}", j))
     if n_hub_pages and i >= n_hub_pages:
         if _mix(i * 7_777_777 + 13) % 100 < hub_prob_pct:
             j = _mix(i * 31 + 7) % n_hub_pages
-            links.append((page_url(j, n_domains), j))
+            links.append((page_url(j, n_pages, n_domains), j))
     for k in range(inter_links):
         j = _mix(i * 15_485_863 + 101 + k) % n_pages
         if j != i:
-            links.append((page_url(j, n_domains), j))
+            links.append((page_url(j, n_pages, n_domains), j))
     return links
 
 
@@ -92,7 +103,7 @@ def render_page(
     inter_links: int,
 ) -> tuple[str, int, bytes, str, str]:
     """Returns (url, warc_ts_us, html, text, lang) for page i."""
-    url = page_url(i, n_domains)
+    url = page_url(i, n_pages, n_domains)
     links = page_links(
         i, n_pages, n_domains, intra_links, n_hub_pages, hub_prob_pct, inter_links
     )

@@ -22,7 +22,7 @@ def test_render_page_deterministic():
     b = render_page(7, 100, 10, 3, 2, 30, 1)
     assert a == b
     url, ts, html, text, lang = a
-    assert url == "https://d0007.example.com/p/7"
+    assert url == "https://d0000.example.com/p/000000000007"
     assert b"<script" in html and "Doc 7" in text
 
 
