@@ -184,8 +184,9 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
 
     ensure_registered()
     # FIXED partition count: both scaling legs must run the identical graph
-    # layout — only the CPU count varies (N vs 4N stand-in)
-    cfg = EngineConfig(num_partitions=32)
+    # layout — only the CPU count varies (N vs 4N stand-in). Low shard-split
+    # threshold so hub-heavy partitions split and LPT-balance across workers.
+    cfg = EngineConfig(num_partitions=32, max_entries_per_shard=150_000)
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()

