@@ -93,14 +93,19 @@ def renumber_urls(
 
 def web_edge_table(
     pages: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 256,
     check_invariant: bool = True,
 ):
     """pages -> (edges(src,dst,weight), vertices(url,vid), n, extraction
     stats). Raises if any page's extracted text differs from the stored
     `text` column (the per-row invariant)."""
-    extracted = extract_pages(pages, concurrency=concurrency, batch_size=batch_size)
+    # materialize once: the invariant check, link explosion and renumber all
+    # consume this stage — without materialization each would re-run the
+    # whole actor-pool extraction
+    extracted = extract_pages(
+        pages, concurrency=concurrency, batch_size=batch_size
+    ).materialize()
     if check_invariant:
         # one aggregate over the boolean column — no materialization of text
         bad = extracted.map_batches(

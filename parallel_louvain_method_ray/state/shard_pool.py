@@ -28,8 +28,14 @@ from parallel_louvain_method_ray.algos._local_move import (
 from parallel_louvain_method_ray.graph.csr import unpack_shards
 
 
-@ray.remote
+@ray.remote(num_cpus=0, scheduling_strategy="SPREAD")
 class ShardWorker:
+    """num_cpus=0: the pool is BSP-synchronous (never more than one busy
+    round at a time) and sized to cpus/2 by the driver, so reserving CPUs
+    only invites scheduling deadlock against lingering Ray Data operator
+    actors (observed: flagship on a 4-CPU cluster, extract pool + shard
+    pool demands > 4). SPREAD keeps workers off a single node on real
+    clusters."""
     def __init__(self, block_refs: list, keep_rows: list):
         self.load(block_refs, keep_rows)
 

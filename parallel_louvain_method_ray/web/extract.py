@@ -113,11 +113,13 @@ class HtmlExtractor:
 
 def extract_pages(
     pages: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 256,
 ) -> ray.data.Dataset:
     """pages(url, warc_ts, html, text, lang) -> extracted(url, text, links,
     lang) via the actor pool. `html` is dropped at this stage boundary."""
+    # elastic pool with min=1: a pool whose MINIMUM reserves every CPU can
+    # deadlock against downstream shuffle tasks on small clusters
     return pages.map_batches(
         HtmlExtractor,
         batch_format="pyarrow",
