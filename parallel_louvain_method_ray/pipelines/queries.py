@@ -707,3 +707,114 @@ QUERIES.update(
         "frame_sample": q_frame_sample,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# join + windowed operators (engine breadth)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_nation_join(sf_dir: str):
+    """Hash join via ray.data.Dataset.join (the relational join operator;
+    the engine's other joins use broadcast lookups for small sides)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = cust.join(
+        nation,
+        join_type="inner",
+        num_partitions=4,
+        on=("c_nationkey",),
+        right_on=("n_nationkey",),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("n_name").aggregate(Count(), Sum("c_acctbal"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b.column("n_name"),
+                "n_customers": b.column("count()"),
+                "total_acctbal": pc.round(b.column("sum(c_acctbal)"), ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization of the events stream: a new session starts
+    when a user's inter-event gap exceeds `gap_minutes`. Windowed operator
+    shape: groupby(user).map_groups with a sorted scan inside the group."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_session = np.ones(ts.shape[0], dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        session_idx = np.cumsum(new_session) - 1
+        uid = g.column("user_id")
+        starts = ts[new_session]
+        n_sessions = int(session_idx[-1]) + 1 if ts.shape[0] else 0
+        n_events = np.bincount(session_idx, minlength=n_sessions)
+        ends = np.zeros(n_sessions, dtype=np.int64)
+        np.maximum.at(ends, session_idx, ts)
+        return pa.table(
+            {
+                "user_id": pa.array([uid[0].as_py()] * n_sessions, pa.int64()),
+                "session_start": pa.array(starts, pa.int64()),
+                "session_end": pa.array(ends, pa.int64()),
+                "n_events": pa.array(n_events.astype(np.int64)),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+ORACLE_SQL.update(
+    {
+        "customer_nation_join": """
+            SELECT n.n_name,
+                   count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 4) AS total_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id,
+                       epoch_us(ts) AS ts_us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 30 * 60 * 1000000 OR lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts_us,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS session_idx
+                FROM ordered
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start,
+                   max(ts_us) AS session_end,
+                   count(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_idx
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "customer_nation_join": q_customer_nation_join,
+        "sessionize": q_sessionize,
+    }
+)
