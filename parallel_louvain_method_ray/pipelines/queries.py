@@ -671,7 +671,10 @@ ORACLE_SQL.update(
             ),
             sims AS (
                 SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(q.qv, e.embedding) AS score
+                       list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])
+                       ) AS score
                 FROM q CROSS JOIN embeddings e
                 WHERE e.vec_id <> q.query_id
             ),
