@@ -821,3 +821,79 @@ QUERIES.update(
         "sessionize": q_sessionize,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked Louvain first sweep (gain formula + tie-break + guard)
+# ---------------------------------------------------------------------------
+
+
+def q_louvain_first_sweep(sf_dir: str):
+    """ONE synchronous Louvain sweep from singletons — decisions all made
+    against the initial state (pure Jacobi = chunk spanning each shard),
+    which makes it SQL-expressible: from singleton communities the gain of
+    v -> comm(u) is w(v,u) - deg(u)*deg(v)/2m, winner = (max gain > 0,
+    min u), singleton-swap guard keeps v when the winner has a larger id.
+    Oracle-checks the engine's gain arithmetic end-to-end."""
+    from parallel_louvain_method_ray.algos._local_move import (
+        chunked_local_move_sweep,
+    )
+
+    graph, raw = _graph_for(sf_dir)
+    src, dst, w = _collect_graph_entries(graph)
+    n = graph.n
+    order = np.lexsort((w, dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+    deg = graph.degrees()
+    assign = np.arange(n, dtype=np.int64)
+    tot = deg.copy()
+    csize = np.ones(n, dtype=np.int64)
+    chunked_local_move_sweep(
+        np.arange(n, dtype=np.int64),
+        indptr,
+        dst,
+        w,
+        assign,
+        tot,
+        deg,
+        2.0 * graph.m,
+        csize=csize,
+        chunk=n,  # one chunk = pure synchronous sweep
+    )
+    return _t(vid=raw, comm=raw[assign])
+
+
+def _collect_graph_entries(graph):
+    from parallel_louvain_method_ray.algos.louvain import _collect_entries
+
+    return _collect_entries(graph)
+
+
+ORACLE_SQL["louvain_first_sweep"] = f"""
+    WITH {SYM_CTES},
+    deg AS (SELECT src AS v, sum(weight) AS d FROM sym GROUP BY src),
+    m2 AS (SELECT 2.0 * (count(*) // 2) AS m2 FROM sym),
+    gains AS (
+        SELECT s.src AS v, s.dst AS u,
+               s.weight - du.d * dv.d / (SELECT m2 FROM m2) AS gain
+        FROM sym s
+        JOIN deg dv ON dv.v = s.src
+        JOIN deg du ON du.v = s.dst
+        WHERE s.src <> s.dst
+    ),
+    ranked AS (
+        SELECT v, u, gain,
+               row_number() OVER (
+                   PARTITION BY v ORDER BY gain DESC, u ASC
+               ) AS rn
+        FROM gains
+    )
+    SELECT d.v AS vid,
+           CASE WHEN r.gain > 0 AND r.u < d.v THEN r.u ELSE d.v END AS comm
+    FROM deg d
+    LEFT JOIN ranked r ON r.v = d.v AND r.rn = 1
+"""
+
+QUERIES["louvain_first_sweep"] = q_louvain_first_sweep
