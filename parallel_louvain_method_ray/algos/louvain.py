@@ -150,8 +150,11 @@ def _m2(graph: GraphHandle, m_mode: str) -> float:
 def modularity(
     graph: GraphHandle, assign: np.ndarray, m_mode: str = "count", pool=None
 ) -> float:
-    """Q = intra/2m - sum_{tot_c>0} (tot_c/2m)^2  (`community.cpp:49-60`)."""
+    """Q = intra/2m - sum_{tot_c>0} (tot_c/2m)^2  (`community.cpp:49-60`).
+    Q := 0 for a graph with m = 0 (fully contracted / self-loops only)."""
     m2 = _m2(graph, m_mode)
+    if m2 <= 0:
+        return 0.0
     deg = graph.degrees()
     tot = np.bincount(assign, weights=deg, minlength=graph.n)
     if pool is not None:
@@ -394,6 +397,8 @@ def _driver_level(
     m2 = _m2(graph, m_mode)
 
     def local_q(a: np.ndarray) -> float:
+        if m2 <= 0:  # fully-contracted graph: only self-loops, m = 0
+            return 0.0
         mask = (src != dst) & (a[src] == a[dst])
         intra = float(w[mask].sum())
         tot_ = np.bincount(a, weights=deg, minlength=n)
@@ -568,12 +573,17 @@ def louvain(
       if graph0.n_entries <= cfg.driver_local_entries:
           src0, dst0, w0 = _collect_entries(graph0)
           m2 = _m2(graph0, m_mode)
-          mask = (src0 != dst0) & (membership[src0] == membership[dst0])
-          tot0 = np.bincount(membership, weights=graph0.degrees(), minlength=graph0.n)
-          nz = tot0 > 0
-          final_on_orig = float(w0[mask].sum()) / m2 - float(
-              ((tot0[nz] / m2) ** 2).sum()
-          )
+          if m2 <= 0:
+              final_on_orig = 0.0
+          else:
+              mask = (src0 != dst0) & (membership[src0] == membership[dst0])
+              tot0 = np.bincount(
+                  membership, weights=graph0.degrees(), minlength=graph0.n
+              )
+              nz = tot0 > 0
+              final_on_orig = float(w0[mask].sum()) / m2 - float(
+                  ((tot0[nz] / m2) ** 2).sum()
+              )
       else:
           if pool is not None and pool.graph is not graph0:
               pool.reload(graph0)

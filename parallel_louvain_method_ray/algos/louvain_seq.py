@@ -65,6 +65,8 @@ class SequentialLouvain:
         """Q = sum_c in_c/2m - (tot_c/2m)^2 over comms with tot > 0
         (`community.cpp:49-60`; 2m = 2 * edge COUNT, `community.cpp:51`)."""
         m2 = 2.0 * self.csr.m
+        if m2 <= 0:
+            return 0.0
         tot = self.tot
         q = self._intra_weight() / m2
         nz = tot > 0
@@ -174,6 +176,8 @@ def louvain_reference(
         csr = coarse
     # final Q on the original graph under the composed assignments
     m2 = 2.0 * csr0.m
+    if m2 <= 0:
+        return membership, 0.0, levels
     mask = (csr0.src != csr0.cols) & (membership[csr0.src] == membership[csr0.cols])
     intra = float(csr0.weights[mask].sum())
     tot = np.bincount(membership, weights=csr0.degrees(), minlength=csr0.n)
