@@ -259,13 +259,14 @@ def louvain_level(
     start_assign: np.ndarray | None = None,
     start_sweep: int = 0,
     m_mode: str = "count",
-    prior_improved: bool = False,
+    prior_moves: int = 0,
     pool=None,
 ) -> tuple[np.ndarray, bool, LevelMetrics]:
     """One Louvain level (the reference's `iterate()`,
     `community.cpp:64-102`): BSP sweeps until 0 moves. Returns
     (assignments, improved, metrics). `on_sweep(sweep_idx, assign, moves)`
-    is the checkpoint hook."""
+    is the checkpoint hook. `start_sweep`/`prior_moves` seed the metric
+    totals on resume so a resumed level reports its full history."""
     cfg = config or graph.config or DEFAULT_CONFIG
     n = graph.n
     deg = graph.degrees()
@@ -274,9 +275,11 @@ def louvain_level(
         if start_assign is not None
         else np.arange(n, dtype=np.int64)
     )
-    metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
+    metrics = LevelMetrics(
+        level=-1, n_vertices=n, m=graph.m, sweeps=start_sweep, moves=prior_moves
+    )
     metrics.modularity_before = modularity(graph, assign, m_mode, pool=pool)
-    improved = prior_improved
+    improved = prior_moves > 0
     best_q = metrics.modularity_before
     best_assign = assign.copy()
     stall = 0
@@ -343,7 +346,10 @@ def louvain_level(
                     assign = best_assign
                     break
         else:
-            best_assign = assign.copy()
+            # converging phase (moves strictly decreasing): skip the Q
+            # measurement for speed but do NOT overwrite best_assign —
+            # (best_q, best_assign) must stay a measured pair so a later
+            # stall abort restores the snapshot best_q describes
             stall = 0
         prev_moves = moves
     metrics.modularity_after = modularity(graph, assign, m_mode, pool=pool)
@@ -379,7 +385,7 @@ def _driver_level(
     on_sweep=None,
     start_assign: np.ndarray | None = None,
     start_sweep: int = 0,
-    prior_improved: bool = False,
+    prior_moves: int = 0,
 ) -> tuple[np.ndarray, bool, LevelMetrics, tuple]:
     """Small-level fast path: the whole level runs driver-local with the
     SAME kernel in strict Gauss-Seidel order (P=1 semantics — below
@@ -410,9 +416,11 @@ def _driver_level(
         if start_assign is not None
         else np.arange(n, dtype=np.int64)
     )
-    metrics = LevelMetrics(level=-1, n_vertices=n, m=graph.m)
+    metrics = LevelMetrics(
+        level=-1, n_vertices=n, m=graph.m, sweeps=start_sweep, moves=prior_moves
+    )
     metrics.modularity_before = local_q(assign)
-    improved = prior_improved
+    improved = prior_moves > 0
     csize = np.bincount(assign, minlength=n) if tie_break == "canonical" else None
     tot = np.bincount(assign, weights=deg, minlength=n)
     # strict per-vertex Gauss-Seidel below 20k vertices (bit-exact vs the
@@ -504,12 +512,12 @@ def louvain(
     levels: list[LevelMetrics] = []
     final_q = 0.0
     start_level, start_sweep, start_assign = 0, 0, None
-    resumed_improved = False
+    resumed_prior_moves = 0
     if checkpointer is not None:
         resumed = checkpointer.resume()
         if resumed is not None:
             (graph, membership, levels, start_level, start_sweep,
-             start_assign, resumed_improved) = resumed
+             start_assign, resumed_prior_moves) = resumed
             if start_level > 0:
                 graph0 = checkpointer.load_level_graph(0) or graph
             else:
@@ -538,7 +546,7 @@ def louvain(
                 on_sweep=on_sweep,
                 start_assign=start_assign if level == start_level else None,
                 start_sweep=start_sweep if level == start_level else 0,
-                prior_improved=resumed_improved if level == start_level else False,
+                prior_moves=resumed_prior_moves if level == start_level else 0,
             )
         else:
             assign, improved, metrics = louvain_level(
@@ -549,7 +557,7 @@ def louvain(
                 start_assign=start_assign if level == start_level else None,
                 start_sweep=start_sweep if level == start_level else 0,
                 m_mode=m_mode,
-                prior_improved=resumed_improved if level == start_level else False,
+                prior_moves=resumed_prior_moves if level == start_level else 0,
                 pool=pool if use_pool else None,
             )
         metrics.level = level
@@ -565,6 +573,8 @@ def louvain(
             coarse, dense = coarsen(graph, assign, pool=pool if use_pool else None)
         membership = dense[membership]
         levels.append(metrics)
+        if checkpointer is not None:
+            checkpointer.end_level(level, metrics)
         final_q = metrics.modularity_after
         if not improved:
             break

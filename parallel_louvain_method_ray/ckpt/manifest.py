@@ -18,9 +18,16 @@ binary per level on written files). Layout (SURVEY §4.2):
 
 All writes are atomic (temp + os.replace / temp dir + rename). `resume()`
 picks the newest complete level, rebuilds the graph from its entry table,
-and continues from the newest complete sweep — a resumed run reproduces the
-uninterrupted run bit-for-bit because sweeps are deterministic functions of
-the checkpointed state.
+and continues from the newest complete sweep. In the converging regime
+(move counts strictly decreasing — the normal case) sweeps are
+deterministic functions of the checkpointed state, so a resumed run
+reproduces the uninterrupted run bit-for-bit. The oscillation-guard state
+(best_q / best_assign / prev_moves) is NOT checkpointed: a crash landing
+mid-oscillation on a P>1 level resumes with a fresh guard, which can abort
+the level at a different (equally valid, quality-guarded) sweep than the
+uninterrupted run. Completed levels' metrics ARE persisted
+(`metrics.json` per level, written by `end_level`) so a resumed run
+reports the full multi-level history.
 """
 
 from __future__ import annotations
@@ -124,6 +131,15 @@ class LouvainCheckpointer:
             },
         )
 
+    def end_level(self, level: int, metrics) -> None:
+        """Persist a COMPLETED level's metrics (dataclass) so a later
+        resume reports the full history instead of levels_meta=[]."""
+        from dataclasses import asdict
+
+        _atomic_write_json(
+            os.path.join(self._level_dir(level), "metrics.json"), asdict(metrics)
+        )
+
     def on_sweep(self, level: int, sweep: int, assign: np.ndarray, moves: int):
         sd = self._sweep_dir(level, sweep)
         os.makedirs(sd, exist_ok=True)
@@ -164,9 +180,25 @@ class LouvainCheckpointer:
             edges, self.config, already_symmetrized=True, n_vertices=man["n"]
         )
 
+    def _levels_meta(self, before_level: int) -> list:
+        """LevelMetrics for completed levels < before_level (from the
+        persisted metrics.json files)."""
+        from parallel_louvain_method_ray.algos.louvain import LevelMetrics
+
+        out = []
+        for lv in self._complete_levels():
+            if lv >= before_level:
+                continue
+            p = os.path.join(self._level_dir(lv), "metrics.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(LevelMetrics(**json.load(f)))
+        return out
+
     def resume(self):
         """Returns (graph, membership, levels_meta, start_level,
-        start_sweep, start_assign) or None if nothing to resume."""
+        start_sweep, start_assign, prior_moves) or None if nothing to
+        resume."""
         levels = self._complete_levels()
         if not levels:
             return None
@@ -194,18 +226,20 @@ class LouvainCheckpointer:
             if n.startswith("sweep=")
             and os.path.exists(os.path.join(ld, n, "manifest.json"))
         )
+        meta = self._levels_meta(level)
         if sweeps:
             last = sweeps[-1]
             assign = np.load(os.path.join(self._sweep_dir(level, last), "assign.npy"))
             # moves made before the crash count toward this level's
-            # "improved" flag — without them a resumed level that converges
-            # immediately would wrongly end the whole multi-level loop
+            # "improved" flag and metric totals — without them a resumed
+            # level that converges immediately would wrongly end the whole
+            # multi-level loop (and under-report sweeps/moves)
             prior_moves = 0
             for s in sweeps:
                 with open(os.path.join(self._sweep_dir(level, s), "manifest.json")) as f:
                     prior_moves += json.load(f)["moves"]
-            return graph, membership, [], level, last + 1, assign, prior_moves > 0
-        return graph, membership, [], level, 0, None, False
+            return graph, membership, meta, level, last + 1, assign, prior_moves
+        return graph, membership, meta, level, 0, None, 0
 
 
 class PageRankCheckpointer:

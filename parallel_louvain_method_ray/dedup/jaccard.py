@@ -61,11 +61,22 @@ def shingle_jaccard_pairs(
 
     def shingle_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if ids.shape[0] < 2 or ids.shape[0] > max_posting:
+        n = ids.shape[0]
+        if n > max_posting:
+            # stop-shingle: sentinel row (doc_a = -n) -> counted + logged by
+            # the driver instead of a silent drop
+            sent = int(group.column("shingle")[0].as_py()) & ((1 << 62) - 1)
+            return pa.table(
+                {
+                    "doc_a": pa.array([-n], pa.int64()),
+                    "doc_b": pa.array([sent], pa.int64()),
+                }
+            )
+        if n < 2:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        i, j = np.triu_indices(ids.shape[0], k=1)
+        i, j = np.triu_indices(n, k=1)
         return pa.table({"doc_a": ids[i], "doc_b": ids[j]})
 
     inter = (
@@ -80,13 +91,21 @@ def shingle_jaccard_pairs(
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         inter_n = batch.column("count()").to_numpy(zero_copy_only=False)
-        sa = vals_sorted[np.searchsorted(ids_sorted, a)]
-        sb = vals_sorted[np.searchsorted(ids_sorted, b)]
-        jac = inter_n / (sa + sb - inter_n)
+        sentinel = a < 0  # capped-bucket markers: pass through for the
+        hi = ids_sorted.shape[0] - 1  # driver-side log
+        sa = vals_sorted[np.minimum(np.searchsorted(ids_sorted, np.abs(a)), hi)]
+        sb = vals_sorted[np.minimum(np.searchsorted(ids_sorted, np.abs(b)), hi)]
+        jac = inter_n / np.maximum(sa + sb - inter_n, 1)
+        jac[sentinel] = 1.0
         t = pa.table({"doc_a": a, "doc_b": b, "jaccard": np.round(jac, 6)})
         return t.filter(pa.compute.greater_equal(t.column("jaccard"), threshold))
 
     out = inter.map_batches(finish, batch_format="pyarrow")
-    return pa.concat_tables(
-        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    from parallel_louvain_method_ray.dedup.simhash import _split_dropped_sentinels
+
+    return _split_dropped_sentinels(
+        pa.concat_tables(
+            [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+        ),
+        "jaccard",
     )

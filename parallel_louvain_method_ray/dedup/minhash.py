@@ -84,7 +84,11 @@ class MinHasher:
 
 
 def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    from parallel_louvain_method_ray.ops.pool import elastic_pool
+
+    return docs.map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=elastic_pool()
+    )
 
 
 def _bands(batch: pa.Table) -> pa.Table:
@@ -116,19 +120,41 @@ def near_dup_pairs_minhash(
     docs: ray.data.Dataset,
     threshold: float = 0.8,
     max_bucket_size: int = 200,
+    join_partitions: int = 4,
 ) -> pa.Table:
     """(doc_a, doc_b, jaccard) for verified near-duplicate pairs
-    (doc_a < doc_b, exact shingle jaccard >= threshold)."""
+    (doc_a < doc_b, exact shingle jaccard >= threshold).
+
+    Verification is fully DISTRIBUTED: the candidate-doc shingle sets are a
+    Dataset (semi-join of docs against the candidate ids) attached to the
+    pair table with two hash joins — no driver-side shingle map, so a high
+    duplicate rate cannot blow the driver heap. Capped buckets are counted
+    and logged (sentinel rows), never silently dropped."""
     sigs = minhash_signatures(docs)
     bands = sigs.map_batches(_bands, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if ids.shape[0] < 2 or ids.shape[0] > max_bucket_size:
+        n = ids.shape[0]
+        if n > max_bucket_size:
+            # sentinel row (doc_a = -n): the driver logs the capped bucket
+            sent = int.from_bytes(
+                hashlib.blake2b(
+                    group.column("bucket")[0].as_py().encode(), digest_size=7
+                ).digest(),
+                "big",
+            )
+            return pa.table(
+                {
+                    "doc_a": pa.array([-n], pa.int64()),
+                    "doc_b": pa.array([sent], pa.int64()),
+                }
+            )
+        if n < 2:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        i, j = np.triu_indices(ids.shape[0], k=1)
+        i, j = np.triu_indices(n, k=1)
         return pa.table({"doc_a": ids[i], "doc_b": ids[j]})
 
     cand = (
@@ -137,76 +163,96 @@ def near_dup_pairs_minhash(
         .groupby(["doc_a", "doc_b"])
         .count()
         .select_columns(["doc_a", "doc_b"])
+        .materialize()
     )
+    from parallel_louvain_method_ray.dedup.simhash import _split_dropped_sentinels
+
     cand_t = pa.concat_tables(
         [pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")]
     )
+    cand_t = _split_dropped_sentinels(cand_t, "minhash")
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
     if cand_t.num_rows == 0:
+        return empty
+    cand_ds = ray.data.from_arrow(cand_t)
+
+    # distinct candidate ids as a Dataset -> semi-join filters docs
+    def both_sides(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "doc_id": np.concatenate(
+                    [
+                        batch.column("doc_a").to_numpy(zero_copy_only=False),
+                        batch.column("doc_b").to_numpy(zero_copy_only=False),
+                    ]
+                )
             }
         )
 
-    # verification: broadcast the shingle sets of candidate docs only
-    need = np.unique(
-        np.concatenate(
-            [
-                cand_t.column("doc_a").to_numpy(zero_copy_only=False),
-                cand_t.column("doc_b").to_numpy(zero_copy_only=False),
-            ]
-        )
+    members = (
+        cand_ds.map_batches(both_sides, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
     )
-    need_set = set(need.tolist())
+    relevant = docs.join(
+        members, join_type="left_semi", num_partitions=join_partitions,
+        on=("doc_id",),
+    )
 
     def shingles_of(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = [i for i, d in enumerate(ids.tolist()) if d in need_set]
-        sub = batch.take(pa.array(keep, type=pa.int64()))
+        # shingle sets ride the hash joins as BINARY blobs (uint64 bytes) —
+        # Acero joins reject list-typed non-key fields
         return pa.table(
             {
-                "doc_id": sub.column("doc_id"),
-                "shingles": pa.array(
+                "doc_id": batch.column("doc_id"),
+                "sh": pa.array(
                     [
-                        _shingle_hashes(t).tolist()
-                        for t in sub.column("text").to_pylist()
+                        _shingle_hashes(t).tobytes()
+                        for t in batch.column("text").to_pylist()
                     ],
-                    pa.large_list(pa.uint64()),
+                    pa.large_binary(),
                 ),
             }
         )
 
-    sh_t = pa.concat_tables(
-        [
-            pa.table(b)
-            for b in docs.map_batches(shingles_of, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            )
-        ]
+    sh_ds = relevant.map_batches(shingles_of, batch_format="pyarrow")
+    sh_a = sh_ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "sh_a"]), batch_format="pyarrow"
     )
-    sh_map = {
-        int(d): np.asarray(s)
-        for d, s in zip(sh_t.column("doc_id").to_pylist(), sh_t.column("shingles").to_pylist())
-    }
-    sh_ref = ray.put(sh_map)
-    cand_ds = ray.data.from_arrow(cand_t)
+    sh_b = sh_ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "sh_b"]), batch_format="pyarrow"
+    )
+    j1 = cand_ds.join(
+        sh_a, join_type="inner", num_partitions=join_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).select_columns(["doc_a", "doc_b", "sh_a"])
+    j2 = j1.join(
+        sh_b, join_type="inner", num_partitions=join_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).select_columns(["doc_a", "doc_b", "sh_a", "sh_b"])
 
     def verify(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sh_ref)
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        col_a = batch.column("sh_a").to_pylist()
+        col_b = batch.column("sh_b").to_pylist()
         jac = np.empty(a.shape[0], dtype=np.float64)
         for i in range(a.shape[0]):
-            sa, sb = sm[int(a[i])], sm[int(b[i])]
+            sa = np.frombuffer(col_a[i], dtype=np.uint64)
+            sb = np.frombuffer(col_b[i], dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
             union = sa.shape[0] + sb.shape[0] - inter
             jac[i] = inter / union if union else 0.0
         t = pa.table({"doc_a": a, "doc_b": b, "jaccard": np.round(jac, 6)})
         return t.filter(pa.compute.greater_equal(t.column("jaccard"), threshold))
 
-    out = cand_ds.map_batches(verify, batch_format="pyarrow")
-    return pa.concat_tables(
-        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
-    )
+    out = j2.map_batches(verify, batch_format="pyarrow")
+    parts = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(parts) if parts else empty

@@ -55,7 +55,11 @@ class SimHasher:
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    from parallel_louvain_method_ray.ops.pool import elastic_pool
+
+    return docs.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=elastic_pool()
+    )
 
 
 def near_dup_pairs_simhash(
@@ -91,7 +95,21 @@ def near_dup_pairs_simhash(
         keep = np.concatenate([[True], ids[1:] != ids[:-1]])
         ids, sigs_ = ids[keep], sigs_[keep]
         n = ids.shape[0]
-        if n < 2 or n > max_bucket_size:
+        if n > max_bucket_size:
+            # capped bucket: emit a SENTINEL row (doc_a = -n) so the driver
+            # can count/log the drop instead of silently losing recall
+            sent = int(
+                group.column("chunk_idx")[0].as_py() * (1 << 32)
+                + group.column("chunk_val")[0].as_py()
+            )
+            return pa.table(
+                {
+                    "doc_a": pa.array([-n], pa.int64()),
+                    "doc_b": pa.array([sent], pa.int64()),
+                    "hamming": pa.array([0], pa.int64()),
+                }
+            )
+        if n < 2:
             return pa.table(
                 {
                     "doc_a": pa.array([], pa.int64()),
@@ -124,5 +142,23 @@ def near_dup_pairs_simhash(
     )
     t = pa.concat_tables(
         [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
-    )
-    return t.rename_columns(["doc_a", "doc_b", "hamming"])
+    ).rename_columns(["doc_a", "doc_b", "hamming"])
+    return _split_dropped_sentinels(t, "simhash")
+
+
+def _split_dropped_sentinels(t: pa.Table, what: str) -> pa.Table:
+    """Strip (and log) the capped-bucket sentinel rows (doc_a < 0)."""
+    import logging
+
+    a = t.column("doc_a").to_numpy(zero_copy_only=False)
+    dropped = a < 0
+    if dropped.any():
+        logging.getLogger("parallel_louvain_method_ray").warning(
+            "%s: %d bucket(s) over the size cap were skipped "
+            "(total %d member docs) — raise max_bucket_size for full recall",
+            what,
+            int(dropped.sum()),
+            int(-a[dropped].sum()),
+        )
+        t = t.filter(pa.array(~dropped))
+    return t

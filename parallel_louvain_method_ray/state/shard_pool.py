@@ -9,10 +9,13 @@ materialized shard BLOCKS once (zero-copy from the object store) and then
 serves per-round kernel calls; a round is one `ray.remote` call per worker
 plus small broadcast refs — no scheduling of a new task graph.
 
-The kernels are the SAME functions the Dataset path uses
-(`algos/_local_move.py` etc.), so both paths produce identical results;
-the Dataset path remains as the streaming/one-shot fallback and is what
-`build_graph` uses for construction.
+The kernels come from the same module the Dataset path uses
+(`algos/_local_move.py`), but in canonical mode the pool runs
+`chunked_local_move_sweep` (Jacobi within 64-vertex blocks) while the
+Dataset `_sweep_pass` runs the strict per-vertex `local_move_sweep` — the
+two paths are EQUIVALENT-QUALITY (same gain formula, tie-breaks and
+guards) but not bit-identical on distributed levels. In "reference"
+tie-break mode both paths run the same strict kernel and do match.
 """
 
 from __future__ import annotations

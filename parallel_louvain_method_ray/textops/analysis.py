@@ -52,7 +52,11 @@ class TextStats:
 
 
 def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(TextStats, batch_format="pyarrow", concurrency=2)
+    from parallel_louvain_method_ray.ops.pool import elastic_pool
+
+    return docs.map_batches(
+        TextStats, batch_format="pyarrow", concurrency=elastic_pool()
+    )
 
 
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -141,4 +145,8 @@ class LangId:
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    from parallel_louvain_method_ray.ops.pool import elastic_pool
+
+    return docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=elastic_pool()
+    )
