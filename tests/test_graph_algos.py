@@ -147,3 +147,14 @@ def test_triangles_random_matches_dense_oracle():
     oracle = triangles_oracle(src, dst, g.n)
     np.testing.assert_array_equal(per_vertex, oracle)
     assert total == oracle.sum() // 3
+
+
+def test_triangles_join_path_matches_broadcast():
+    # the distributed wedge⋈edge probe (100 TB path, no O(E) broadcast)
+    # must count exactly like the broadcast probe
+    src, dst, w = random_graph(60, 7, seed=21)
+    g = _graph(src, dst, w, P=3)
+    pv_b, tot_b = triangle_counts(g, method="broadcast")
+    pv_j, tot_j = triangle_counts(g, method="join")
+    np.testing.assert_array_equal(pv_b, pv_j)
+    assert tot_b == tot_j
