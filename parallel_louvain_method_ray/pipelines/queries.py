@@ -149,19 +149,78 @@ def q_modularity_singleton(sf_dir: str):
     return _t(q=[round(q, 9)])
 
 
+_louvain_cache: dict[str, object] = {}
+
+# the converged-assignment bridge table the louvain_quality oracle reads
+# (DuckDB recomputes Q from it + the base tables — see ensure_louvain_assign)
+LOUVAIN_ASSIGN_PARQUET = "/tmp/plm_louvain_assign.parquet"
+
+
+def _louvain_for(sf_dir: str):
+    # m_mode="weight": the supplier cograph is WEIGHTED (co-occurrence
+    # counts), and under the reference's count-m quirk every gain is
+    # negative there (tot*deg/m2 >> k_vc), collapsing Louvain to
+    # singletons. Standard weight-m gives the real community structure;
+    # the count-m quirk itself stays pinned by `modularity_singleton` and
+    # the golden unit-weight tests.
+    if sf_dir not in _louvain_cache:
+        graph, raw = _graph_for(sf_dir)
+        _louvain_cache[sf_dir] = louvain(graph, _CFG, m_mode="weight")
+    return _louvain_cache[sf_dir]
+
+
+_bridge_written = False
+
+
+def louvain_bridge_written() -> bool:
+    return _bridge_written
+
+
+def ensure_louvain_assign(sf_dir: str) -> None:
+    """Write the engine's converged (vid, comm) assignment to the fixed
+    bridge path (atomic tmp+rename). The `louvain_quality` SQL oracle
+    recomputes modularity FROM THIS TABLE + the base tables, closing the
+    loop on the otherwise non-SQL-expressible converged Louvain: the
+    engine's reported Q must equal the SQL-recomputed Q of its own
+    partition."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, raw = _graph_for(sf_dir)
+    res = _louvain_for(sf_dir)
+    t = pa.table({"vid": raw, "comm": res.assignments})
+    tmp = LOUVAIN_ASSIGN_PARQUET + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, LOUVAIN_ASSIGN_PARQUET)
+    global _bridge_written
+    _bridge_written = True
+
+
 def q_louvain(sf_dir: str):
-    graph, raw = _graph_for(sf_dir)
-    res = louvain(graph, _CFG)
+    _, raw = _graph_for(sf_dir)
+    res = _louvain_for(sf_dir)
     return _t(vid=raw, comm=res.assignments)
 
 
 def q_louvain_modularity(sf_dir: str):
-    graph, raw = _graph_for(sf_dir)
-    res = louvain(graph, _CFG)
+    res = _louvain_for(sf_dir)
     return _t(
         modularity=[round(res.modularity, 6)],
         n_communities=[np.int64(np.unique(res.assignments).shape[0])],
         n_levels=[np.int64(len(res.levels))],
+    )
+
+
+def q_louvain_quality(sf_dir: str):
+    """(q, n_communities) of the CONVERGED Louvain partition, with q the
+    engine's own reported modularity (count-m semantics, original graph).
+    Oracle-checked: DuckDB recomputes Q from the emitted assignment."""
+    ensure_louvain_assign(sf_dir)
+    res = _louvain_for(sf_dir)
+    return _t(
+        q=[round(res.modularity, 6)],
+        n_communities=[np.int64(np.unique(res.assignments).shape[0])],
     )
 
 
@@ -385,6 +444,33 @@ ORACLE_SQL: dict[str, str] = {
         m2 AS (SELECT 2.0 * (count(*) // 2) AS m2 FROM sym)
         SELECT round(-sum((d / (SELECT m2 FROM m2)) ^ 2), 9) AS q FROM deg
     """,
+    "louvain_quality": f"""
+        WITH {SYM_CTES},
+        assign AS (
+            SELECT vid, comm FROM read_parquet('{LOUVAIN_ASSIGN_PARQUET}')
+        ),
+        deg AS (SELECT src AS v, sum(weight) AS d FROM sym GROUP BY src),
+        m2 AS (SELECT sum(weight) AS m2 FROM sym),
+        intra AS (
+            SELECT coalesce(sum(s.weight), 0) AS iw
+            FROM sym s
+            JOIN assign a1 ON a1.vid = s.src
+            JOIN assign a2 ON a2.vid = s.dst
+            WHERE s.src <> s.dst AND a1.comm = a2.comm
+        ),
+        tot AS (
+            SELECT a.comm, sum(d.d) AS t
+            FROM assign a JOIN deg d ON d.v = a.vid
+            GROUP BY a.comm
+        )
+        SELECT round(
+                   (SELECT iw FROM intra) / (SELECT m2 FROM m2)
+                   - (SELECT sum((t / (SELECT m2 FROM m2)) ^ 2)
+                      FROM tot WHERE t > 0),
+                   6
+               ) AS q,
+               (SELECT count(DISTINCT comm) FROM assign) AS n_communities
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
@@ -425,7 +511,8 @@ QUERIES = {
     "lpa_one_sweep": q_lpa_one_sweep,
     "modularity_singleton": q_modularity_singleton,
     "louvain_communities": q_louvain,  # rows-only (iterative, non-SQL)
-    "louvain_modularity": q_louvain_modularity,  # rows-only
+    "louvain_modularity": q_louvain_modularity,  # rows-only (n_levels)
+    "louvain_quality": q_louvain_quality,  # hash-checked via assign bridge
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_by_type": q_events_by_type,
