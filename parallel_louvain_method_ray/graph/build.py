@@ -87,15 +87,21 @@ def dedup_entries(entries: ray.data.Dataset) -> ray.data.Dataset:
 
 def renumber(
     edges: ray.data.Dataset,
+    max_driver_ids: int = 20_000_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
     """Densify vertex ids: every id appearing in src or dst is mapped to its
     rank in the sorted distinct-id order (reference `renumber.py:25-34`).
 
     Returns (renumbered_edges, vertices(raw_id, vid), n_vertices).
 
-    The distinct-id set is collected to the driver as a sorted numpy array
-    (O(V) — the documented driver-state budget) and broadcast via ray.put;
-    the edge rewrite is a shuffle-free map_batches with np.searchsorted.
+    Two execution paths with IDENTICAL vid assignment (tested):
+    - driver path (distinct count <= max_driver_ids): the distinct-id set
+      is collected to the driver as a sorted numpy array and broadcast;
+      the edge rewrite is a shuffle-free map_batches + np.searchsorted;
+    - scale path: `Dataset.sort` on the distinct ids + per-block prefix
+      offsets assigns dense vids without any O(V) driver array, and the
+      edge rewrite becomes two hash joins (src, then dst) against the
+      vertices Dataset — the 10^12-url web-graph route.
     """
 
     def ids_of(batch: pa.Table) -> pa.Table:
@@ -108,7 +114,13 @@ def renumber(
         .groupby("raw_id")
         .count()
         .select_columns(["raw_id"])
+        .materialize()
     )
+    n = distinct.count()
+    if n > max_driver_ids:
+        vertices = assign_dense_ids(distinct, "raw_id")
+        return renumber_with_join(edges, vertices), vertices, n
+
     raw_ids = np.sort(
         pa.concat_tables(
             [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")]
@@ -140,6 +152,81 @@ def renumber(
         vertices,
         int(raw_ids.shape[0]),
     )
+
+
+def assign_dense_ids(
+    distinct: ray.data.Dataset, key: str
+) -> ray.data.Dataset:
+    """(key, vid) with vid = rank of key in global sorted order, computed
+    WITHOUT collecting the key set: global `sort(key)` (range shuffle),
+    then each sorted block numbers its rows from a prefix offset; the
+    driver holds only the per-block row counts (O(num_blocks))."""
+    sorted_ds = distinct.sort(key).materialize()
+    refs = sorted_ds.get_internal_block_refs()
+
+    @ray.remote
+    def _nrows(block) -> int:
+        return (block if isinstance(block, pa.Table) else pa.table(block)).num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _number(block, offset: int) -> pa.Table:
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        return pa.table(
+            {
+                key: t.column(key),
+                "vid": np.arange(offset, offset + t.num_rows, dtype=np.int64),
+            }
+        )
+
+    out_refs = [_number.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def join_partitions(requested: int | None = None, cap: int = 64) -> int:
+    """Join fan-out bounded by the cluster CPU count — a join whose
+    aggregator-actor demand exceeds the cluster deadlocks small clusters
+    (observed at num_partitions=16 on 4 CPUs)."""
+    if requested is not None:
+        return requested
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cap, cpus))
+
+
+def renumber_with_join(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Rewrite (src, dst, weight) to dense vids via two hash joins against
+    the vertices table — no broadcast, the scale path."""
+    num_partitions = join_partitions(num_partitions)
+    v_src = vertices.map_batches(
+        lambda b: b.rename_columns(["raw_id", "src_vid"]), batch_format="pyarrow"
+    )
+    v_dst = vertices.map_batches(
+        lambda b: b.rename_columns(["raw_id", "dst_vid"]), batch_format="pyarrow"
+    )
+    j = edges.join(
+        v_src, join_type="inner", num_partitions=num_partitions,
+        on=("src",), right_on=("raw_id",),
+    ).join(
+        v_dst, join_type="inner", num_partitions=num_partitions,
+        on=("dst",), right_on=("raw_id",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src_vid"),
+                "dst": batch.column("dst_vid"),
+                "weight": batch.column("weight"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

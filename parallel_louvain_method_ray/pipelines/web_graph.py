@@ -35,11 +35,14 @@ def pages_from_documents(
 
 def renumber_urls(
     edges_str: ray.data.Dataset,
+    max_driver_ids: int = 20_000_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
     """Dense renumbering over string keys: every url appearing as src or dst
     maps to its rank in sorted order (the string analogue of
-    `renumber.py:25-34`). Distinct-url set is O(V) driver/broadcast state;
-    scale path: Dataset.sort + per-block offset ranking."""
+    `renumber.py:25-34`). Below `max_driver_ids` the distinct-url set is
+    collected + broadcast (searchsorted rewrite); above it the scale path
+    runs Dataset.sort + per-block offset ranking + two hash joins — no
+    O(V) driver state (see graph.build.assign_dense_ids)."""
 
     def urls_of(batch: pa.Table) -> pa.Table:
         u = np.union1d(
@@ -53,7 +56,16 @@ def renumber_urls(
         .groupby("url")
         .count()
         .select_columns(["url"])
+        .materialize()
     )
+    n = distinct.count()
+    if n > max_driver_ids:
+        from parallel_louvain_method_ray.graph.build import assign_dense_ids
+
+        vertices = assign_dense_ids(distinct, "url")
+        edges = _renumber_urls_join(edges_str, vertices)
+        return edges, vertices, n
+
     parts = [
         pa.table(b).column("url").to_numpy(zero_copy_only=False)
         for b in distinct.iter_batches(batch_format="pyarrow")
@@ -89,6 +101,43 @@ def renumber_urls(
         vertices,
         int(urls.shape[0]),
     )
+
+
+def _renumber_urls_join(
+    edges_str: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Scale-path url->vid rewrite: two hash joins, no broadcast."""
+    from parallel_louvain_method_ray.graph.build import join_partitions
+
+    num_partitions = join_partitions(num_partitions)
+    v_src = vertices.map_batches(
+        lambda b: b.rename_columns(["url", "src_vid"]), batch_format="pyarrow"
+    )
+    v_dst = vertices.map_batches(
+        lambda b: b.rename_columns(["url", "dst_vid"]), batch_format="pyarrow"
+    )
+    j = edges_str.join(
+        v_src, join_type="inner", num_partitions=num_partitions,
+        on=("src_url",), right_on=("url",),
+    ).join(
+        v_dst, join_type="inner", num_partitions=num_partitions,
+        on=("dst_url",), right_on=("url",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src_vid"),
+                "dst": batch.column("dst_vid"),
+                "weight": batch.column("n_anchors")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 def web_edge_table(
