@@ -1,0 +1,894 @@
+"""Ghost-restricted (join-based) iterative algorithms — SURVEY §4.3.
+
+The broadcast engine (louvain.py / pagerank.py / components.py / lpa.py)
+ships one dense O(V) state array per sweep via ray.put and keeps another
+on the driver. At web scale (10^12 pages) V alone is terabytes, so this
+module re-expresses every iterative algorithm with ALL state resident in
+Datasets; per-round cross-partition exchange is the `edges ⋈ state(dst)`
+hash join plus groupby-aggregates — the Ray-Data translation of the
+reference's ghost machinery (`/root/reference/src/distcommunity.cpp:37-128,
+387-545`: DegreeInfo/CommunityUpdate/CommunityInfo messages all dissolve
+into these shuffles). The driver holds only scalars (move counts, deltas,
+modularity) and O(num_blocks) offsets.
+
+Louvain semantics here are the PURE-JACOBI sweep: every decision is made
+against the sweep-start snapshot (assignments + community totals), with
+the same gain formula, keep-on-tie / min-comm-id tie-break and
+singleton-swap guard as `chunked_local_move_sweep` run as a single chunk.
+`louvain_jacobi_numpy` below is that exact kernel loop in numpy; the
+Dataset pipeline is tested BIT-FOR-BIT against it on P>1 fixtures
+(integer-weight graphs: all float sums are exact, so groupby-Sum order
+cannot perturb gains; on arbitrary float weights parity holds to the
+last ulp of the sum order).
+
+Cost shape per Louvain sweep: ~6 shuffles (stats groupby, k groupby,
+3 joins, argmax max+min groupbys). That is the price of dropping the
+O(V) broadcast; the broadcast path remains the default below
+`EngineConfig.max_broadcast_vertices`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from parallel_louvain_method_ray.algos._local_move import chunked_local_move_sweep
+from parallel_louvain_method_ray.graph.build import join_partitions
+
+
+# ---------------------------------------------------------------------------
+# dataset plumbing helpers
+# ---------------------------------------------------------------------------
+
+
+def _rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
+    out = ds.map_batches(
+        lambda b, _n=tuple(names): b.rename_columns(list(_n)),
+        batch_format="pyarrow",
+    )
+    if getattr(ds, "_plm_tight", False):
+        # per-block rename preserves the nonempty block structure
+        out._plm_tight = True
+    return out
+
+
+def _filter(ds: ray.data.Dataset, fn) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b, _f=fn: b.filter(_f(b)), batch_format="pyarrow"
+    )
+
+
+def _scalar_sum(ds: ray.data.Dataset, col: str) -> float:
+    out = ds.aggregate(Sum(col))
+    return float(out[f"sum({col})"] or 0.0)
+
+
+def _seeded(ds: ray.data.Dataset, **sentinel_row) -> ray.data.Dataset:
+    """Union with a single SENTINEL row (key = -1, impossible for real
+    vids/comms): Ray's hash join errors when one side contributes zero
+    rows (the empty side materializes schema-less); one unmatched row
+    keeps the join well-formed and falls out of inner/left joins."""
+    seed = ray.data.from_arrow(
+        pa.table({k: pa.array([v], None) for k, v in sentinel_row.items()})
+    )
+    return ds.union(seed)
+
+
+def _tight(ds: ray.data.Dataset, P: int) -> ray.data.Dataset:
+    """Materialize + repartition to min(P, rows) NONEMPTY blocks.
+
+    Ray 2.49's hash-join aggregator mishandles operands whose block list
+    contains several empty blocks (the empty partition builds a
+    schema-less table and pyarrow's Table.join raises ArrowInvalid).
+    Filter- and aggregate-derived datasets routinely carry empty blocks,
+    so every join operand in this module is compacted first. Blocks after
+    an even repartition(nb<=rows) are all nonempty. Results are memoized
+    (marker attribute) so a dataset joined several times per sweep is
+    compacted once."""
+    if getattr(ds, "_plm_tight", False):
+        return ds
+    ds = ds.materialize()
+    rows = ds.count()
+    nb = max(1, min(P, rows))
+    out = ds.repartition(nb).materialize()
+    out._plm_tight = True
+    return out
+
+
+def _join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple,
+    right_on: tuple | None = None,
+    how: str = "inner",
+    P: int | None = None,
+) -> ray.data.Dataset:
+    """Hash join with BOTH operands compacted via _tight (operands whose
+    block lists contain empty blocks crash Ray 2.49's join finalize)."""
+    P = join_partitions(P)
+    return _tight(left, P).join(
+        _tight(right, P),
+        join_type=how,
+        num_partitions=P,
+        on=on,
+        right_on=right_on,
+    )
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    parts = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+# ---------------------------------------------------------------------------
+# the dataset-resident graph
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class JoinedGraph:
+    """Graph state as Datasets only — no dense driver arrays.
+
+    edges: symmetrized, triple-deduped entries (src, dst, weight),
+    materialized once. degrees: (vid, deg) for EVERY vid 0..n-1 (zero for
+    isolated). m = n_entries // 2 (reference sparsify semantics,
+    `/root/reference/src/graph.cpp:62`)."""
+
+    edges: ray.data.Dataset
+    degrees: ray.data.Dataset
+    n: int
+    m: int
+    n_entries: int
+    total_weight: float
+
+
+def joined_graph_from_entries(
+    entries: ray.data.Dataset, n: int, partitions: int | None = None
+) -> JoinedGraph:
+    """`entries` must already be symmetrized + deduped with dense vids
+    0..n-1 (what `build_graph` feeds its CSR pack)."""
+    P = join_partitions(partitions)
+    edges = _tight(entries, max(P, 4))
+    n_entries = edges.count()
+    agg = edges.groupby("src").sum("weight")
+    deg_present = _rename(agg, ["vid", "deg"])
+    vertices = _rename(ray.data.range(n), ["vid"])
+    deg_all = vertices.join(
+        _tight(deg_present, P), join_type="left_outer", num_partitions=P, on=("vid",)
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b.column("vid"),
+                "deg": pc.coalesce(b.column("deg"), pa.scalar(0.0)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    deg_all = _tight(deg_all, P)
+    total_weight = _scalar_sum(edges, "weight")
+    return JoinedGraph(
+        edges=edges,
+        degrees=deg_all,
+        n=n,
+        m=n_entries // 2,
+        n_entries=n_entries,
+        total_weight=total_weight,
+    )
+
+
+def joined_graph_from_handle(graph) -> JoinedGraph:
+    """Flatten a GraphHandle's CSR shards back to an entry Dataset (for
+    tests / queries that already built the dense graph)."""
+    from parallel_louvain_method_ray.graph.csr import shard_to_entries, unpack_shards
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        for shard in unpack_shards(batch):
+            s, d, w = shard_to_entries(shard)
+            out.append(pa.table({"src": s, "dst": d, "weight": w}))
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table(
+                {
+                    "src": np.empty(0, np.int64),
+                    "dst": np.empty(0, np.int64),
+                    "weight": np.empty(0, np.float64),
+                }
+            )
+        )
+
+    entries = graph.shards.map_batches(expand, batch_format="pyarrow")
+    return joined_graph_from_entries(entries, graph.n)
+
+
+def singleton_assignment(jg: JoinedGraph) -> ray.data.Dataset:
+    """(vid, comm=vid) — reference init (`src/community.cpp:16-30`)."""
+    return _tight(
+        _rename(
+            ray.data.range(jg.n).map_batches(
+                lambda b: pa.table({"vid": b.column("id"), "comm": b.column("id")}),
+                batch_format="pyarrow",
+            ),
+            ["vid", "comm"],
+        ),
+        join_partitions(None),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Louvain: one pure-Jacobi sweep as a join/groupby pipeline
+# ---------------------------------------------------------------------------
+
+
+def louvain_sweep_joined(
+    jg: JoinedGraph,
+    assign: ray.data.Dataset,
+    m2: float,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, int]:
+    """One synchronous local-move sweep; returns (assign', moves).
+
+    Exactly `chunked_local_move_sweep(chunk=n)` re-expressed as:
+      stats  = assign ⋈ degrees → groupby(comm){sum deg, count}
+      k      = edges(src≠dst) ⋈ assign(dst) → groupby(src, dst_comm).sum(w)
+      vert   = assign ⋈ degrees ⋈ stats(own) [⋈ k_own]
+      cand   = k ⋈ stats(dst_comm) ⋈ vert  → gain
+      argmax = groupby(src).max(gain) ⋈ filter(gain=max) → groupby.min(comm)
+      accept = gain > max(gain_own, 0), singleton-swap guard
+    """
+    P = join_partitions(partitions)
+
+    # community stats from the snapshot
+    ad = assign.join(
+        _tight(jg.degrees, P), join_type="inner", num_partitions=P, on=("vid",)
+    ).materialize()
+    stats = _tight(
+        _rename(
+            ad.groupby("comm").aggregate(Sum("deg"), Count()),
+            ["comm", "tot", "csize"],
+        ),
+        P,
+    )
+
+    # per-vertex own-side info
+    vert = _rename(
+        ad.join(
+            _tight(_rename(stats, ["comm", "tot_own", "csize_own"]), P),
+            join_type="inner",
+            num_partitions=P,
+            on=("comm",),
+        ).select_columns(["vid", "comm", "deg", "tot_own", "csize_own"]),
+        ["vid", "own", "dv", "tot_own", "csize_own"],
+    )
+    vert = _tight(vert, P)
+
+    # neighbor-community weights k_{v,c} (self-loops excluded,
+    # `src/community.cpp:134`)
+    nbr = _filter(
+        jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
+    )
+    k = (
+        nbr.join(
+            _tight(_rename(assign, ["vid", "dst_comm"]), P),
+            join_type="inner",
+            num_partitions=P,
+            on=("dst",),
+            right_on=("vid",),
+        )
+        .groupby(["src", "dst_comm"])
+        .sum("weight")
+    )
+    k = _rename(k, ["src", "dst_comm", "kw"])
+
+    f1 = _join(k, _rename(stats, ["dst_comm", "tot_c", "csize_c"]), on=("dst_comm",), P=P)
+    full = (
+        _join(f1, vert, on=("src",), right_on=("vid",), P=P)
+        .select_columns(
+            ["src", "dst_comm", "kw", "tot_c", "csize_c", "own", "dv",
+             "tot_own", "csize_own"]
+        )
+    )
+    full = _tight(full, P)
+
+    # k to the OWN community (0 when no neighbor shares it)
+    k_own = _seeded(
+        _rename(
+            _filter(full, lambda b: pc.equal(b.column("dst_comm"), b.column("own")))
+            .select_columns(["src", "kw"]),
+            ["src", "k_own"],
+        ),
+        src=np.int64(-1),
+        k_own=0.0,
+    )
+
+    # candidates: gain = kw - tot_c * (dv / m2)   [kernel line order]
+    def cand_gain(batch: pa.Table) -> pa.Table:
+        kw = batch.column("kw").to_numpy(zero_copy_only=False)
+        tot_c = batch.column("tot_c").to_numpy(zero_copy_only=False)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False)
+        gain = kw - tot_c * (dv / m2)
+        return batch.append_column("gain", pa.array(gain, pa.float64()))
+
+    cand = _filter(
+        full, lambda b: pc.invert(pc.equal(b.column("dst_comm"), b.column("own")))
+    ).map_batches(cand_gain, batch_format="pyarrow")
+    cand = _tight(cand, P)
+    if cand.count() == 0:  # no cross-community neighbors anywhere
+        return assign, 0
+
+    gmax = _tight(_rename(cand.groupby("src").max("gain"), ["src", "gmax"]), P)
+    best = (
+        _join(cand, gmax, on=("src",), P=P)
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("gain"), b.column("gmax"))),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Min("dst_comm"))
+    )
+    best = _rename(best, ["src", "best_comm"])
+
+    # decision row per src with a candidate
+    d1 = _join(best, gmax, on=("src",), P=P)
+    d2 = _join(d1, _rename(stats, ["best_comm", "tot_b", "csize_b"]), on=("best_comm",), P=P)
+    d3 = _join(d2, vert, on=("src",), right_on=("vid",), P=P)
+    dec = _join(d3, k_own, on=("src",), how="left_outer", P=P)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        best_c = batch.column("best_comm").to_numpy(zero_copy_only=False)
+        gmax_v = batch.column("gmax").to_numpy(zero_copy_only=False)
+        own = batch.column("own").to_numpy(zero_copy_only=False)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False)
+        tot_own = batch.column("tot_own").to_numpy(zero_copy_only=False)
+        cs_own = batch.column("csize_own").to_numpy(zero_copy_only=False)
+        cs_b = batch.column("csize_b").to_numpy(zero_copy_only=False)
+        ko = pc.coalesce(batch.column("k_own"), pa.scalar(0.0)).to_numpy(
+            zero_copy_only=False
+        )
+        # remove-before-gain: tot[own] seen without deg(v)
+        gain_own = ko - (tot_own - dv) * dv / m2
+        thr = np.maximum(gain_own, 0.0)
+        accept = gmax_v > thr
+        guard = (best_c > own) & (cs_own == 1) & (cs_b == 1)
+        accept &= ~guard
+        return pa.table(
+            {
+                "vid": src[accept],
+                "new_comm": best_c[accept],
+            }
+        )
+
+    moved = _tight(dec.map_batches(decide, batch_format="pyarrow"), P)
+    moves = moved.count()
+    if moves == 0:
+        return assign, 0
+
+    P2 = P
+    new_assign = (
+        _join(assign, moved, on=("vid",), how="left_outer", P=P2)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "comm": pc.coalesce(b.column("new_comm"), b.column("comm")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return _tight(new_assign, P), moves
+
+
+def modularity_joined(
+    jg: JoinedGraph,
+    assign: ray.data.Dataset,
+    m2: float,
+    partitions: int | None = None,
+) -> float:
+    """Q = intra/m2 - Σ (tot_c/m2)^2 over comms with tot > 0
+    (`src/community.cpp:49-60`), all as joins/aggregates."""
+    if m2 <= 0:
+        return 0.0
+    P = join_partitions(partitions)
+    a_src = _rename(assign, ["vid", "c_src"])
+    a_dst = _rename(assign, ["vid", "c_dst"])
+    both = (
+        _filter(
+            jg.edges,
+            lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst"))),
+        )
+        .join(_tight(a_src, P), join_type="inner", num_partitions=P, on=("src",), right_on=("vid",))
+        .join(_tight(a_dst, P), join_type="inner", num_partitions=P, on=("dst",), right_on=("vid",))
+    )
+    intra_ds = _filter(
+        both, lambda b: pc.equal(b.column("c_src"), b.column("c_dst"))
+    )
+    intra = _scalar_sum(intra_ds, "weight")
+    ad = assign.join(_tight(jg.degrees, P), join_type="inner", num_partitions=P, on=("vid",))
+    tot = _rename(ad.groupby("comm").sum("deg"), ["comm", "tot"])
+
+    def sq(batch: pa.Table) -> pa.Table:
+        t = batch.column("tot").to_numpy(zero_copy_only=False)
+        t = t[t > 0]
+        return pa.table({"term": (t / m2) ** 2})
+
+    sq_sum = _scalar_sum(tot.map_batches(sq, batch_format="pyarrow"), "term")
+    return intra / m2 - sq_sum
+
+
+def coarsen_joined(
+    jg: JoinedGraph,
+    assign: ray.data.Dataset,
+    partitions: int | None = None,
+) -> tuple[JoinedGraph, ray.data.Dataset]:
+    """Contract communities (`src/community.cpp:162-201` mapping): new
+    entries = groupby(comm_src, comm_dst).sum(weight); dense renumber by
+    sorted old comm id via the scale-path ranking (no driver id set).
+    Returns (coarse JoinedGraph, comm_map Dataset (comm, new_id))."""
+    from parallel_louvain_method_ray.graph.build import assign_dense_ids
+
+    P = join_partitions(partitions)
+    distinct = assign.groupby("comm").count().select_columns(["comm"]).materialize()
+    ncomms = distinct.count()
+    comm_map = assign_dense_ids(distinct, "comm").materialize()  # (comm, vid=new)
+    comm_map = _rename(comm_map, ["comm", "new_id"])
+
+    a_new = (
+        assign.join(_tight(comm_map, P), join_type="inner", num_partitions=P, on=("comm",))
+        .select_columns(["vid", "new_id"])
+    )
+    a_src = _rename(a_new, ["vid", "c_src"])
+    a_dst = _rename(a_new, ["vid", "c_dst"])
+    ce = (
+        jg.edges.join(
+            a_src, join_type="inner", num_partitions=P, on=("src",), right_on=("vid",)
+        )
+        .join(_tight(a_dst, P), join_type="inner", num_partitions=P, on=("dst",), right_on=("vid",))
+        .groupby(["c_src", "c_dst"])
+        .sum("weight")
+    )
+    ce = _rename(ce, ["src", "dst", "weight"])
+    coarse = joined_graph_from_entries(ce, ncomms, partitions)
+    return coarse, comm_map
+
+
+def louvain_joined(
+    jg: JoinedGraph,
+    max_sweeps: int = 64,
+    max_levels: int = 32,
+    m_mode: str = "count",
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, float, list[dict]]:
+    """Multi-level pure-Jacobi Louvain, all state in Datasets. Returns
+    (membership Dataset (vid, comm) over ORIGINAL vids with canonical-ish
+    dense labels, final Q on the original graph, per-level info).
+
+    `louvain_jacobi_numpy` is the bit-parity reference for this loop."""
+    P = join_partitions(partitions)
+    jg0 = jg
+    membership = singleton_assignment(jg)  # (vid, comm) comm in current level space
+    levels: list[dict] = []
+    for level in range(max_levels):
+        m2 = 2.0 * jg.m if m_mode == "count" else jg.total_weight
+        assign = singleton_assignment(jg)
+        sweeps = 0
+        total_moves = 0
+        for _ in range(max_sweeps):
+            assign, moves = louvain_sweep_joined(jg, assign, m2, P)
+            sweeps += 1
+            total_moves += moves
+            if moves == 0:
+                break
+        improved = total_moves > 0
+        if not improved and level > 0:
+            break
+        coarse, comm_map = coarsen_joined(jg, assign, P)
+        # membership: orig vid -> level comm; compose with assign then map
+        membership = (
+            membership.join(
+                _tight(_rename(assign, ["lvl_vid", "lvl_comm"]), P),
+                join_type="inner",
+                num_partitions=P,
+                on=("comm",),
+                right_on=("lvl_vid",),
+            )
+            .select_columns(["vid", "lvl_comm"])
+        )
+        membership = (
+            membership.join(
+                _tight(_rename(comm_map, ["lvl_comm", "new_id"]), P),
+                join_type="inner",
+                num_partitions=P,
+                on=("lvl_comm",),
+            )
+            .select_columns(["vid", "new_id"])
+        )
+        membership = _rename(membership, ["vid", "comm"]).materialize()
+        levels.append(
+            {"level": level, "n": jg.n, "m": jg.m, "sweeps": sweeps,
+             "moves": total_moves}
+        )
+        if not improved:
+            break
+        jg = coarse
+    m2_0 = 2.0 * jg0.m if m_mode == "count" else jg0.total_weight
+    q = modularity_joined(jg0, membership, m2_0, P)
+    return membership, q, levels
+
+
+def louvain_jacobi_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    max_sweeps: int = 64,
+    max_levels: int = 32,
+    m_mode: str = "count",
+) -> tuple[np.ndarray, float]:
+    """Driver-side reference with IDENTICAL semantics to louvain_joined
+    (pure-Jacobi sweeps from fresh per-sweep stats, sorted-comm coarsen).
+    Input: symmetrized deduped entries. Returns (membership, Q)."""
+    membership = np.arange(n, dtype=np.int64)
+    src0, dst0, w0 = src, dst, w
+    n0 = n
+    for level in range(max_levels):
+        m = src.shape[0] // 2
+        m2 = 2.0 * m if m_mode == "count" else float(w.sum())
+        order = np.lexsort((w, dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+        deg = np.bincount(src, weights=w, minlength=n)
+        assign = np.arange(n, dtype=np.int64)
+        total_moves = 0
+        for _ in range(max_sweeps):
+            tot = np.bincount(assign, weights=deg, minlength=n)
+            csize = np.bincount(assign, minlength=n)
+            moves = chunked_local_move_sweep(
+                np.arange(n, dtype=np.int64), indptr, dst, w,
+                assign, tot, deg, m2, csize=csize, chunk=n,
+            )
+            total_moves += moves
+            if moves == 0:
+                break
+        improved = total_moves > 0
+        if not improved and level > 0:
+            break
+        old = np.unique(assign)
+        dense = np.searchsorted(old, assign).astype(np.int64)
+        ncomms = int(old.shape[0])
+        key = dense[src] * np.int64(ncomms) + dense[dst]
+        uk, inv = np.unique(key, return_inverse=True)
+        wsum = np.zeros(uk.shape[0], dtype=np.float64)
+        np.add.at(wsum, inv, w)
+        membership = dense[membership]
+        if not improved:
+            break
+        src = (uk // ncomms).astype(np.int64)
+        dst = (uk % ncomms).astype(np.int64)
+        w = wsum
+        n = ncomms
+    m2_0 = 2.0 * (src0.shape[0] // 2) if m_mode == "count" else float(w0.sum())
+    if m2_0 <= 0:
+        return membership, 0.0
+    mask = (src0 != dst0) & (membership[src0] == membership[dst0])
+    intra = float(w0[mask].sum())
+    tot0 = np.bincount(membership, weights=np.bincount(src0, weights=w0, minlength=n0), minlength=n0)
+    nz = tot0 > 0
+    q = intra / m2_0 - float(((tot0[nz] / m2_0) ** 2).sum())
+    return membership, q
+
+
+# ---------------------------------------------------------------------------
+# PageRank / CC / LPA on the join path
+# ---------------------------------------------------------------------------
+
+
+def pagerank_joined(
+    jg: JoinedGraph,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Power iteration with ranks as a Dataset (vid, rank). Same published
+    semantics as `pagerank` (damping, uniform init, dangling mass
+    redistributed); per iteration: ranks ⋈ degrees → scaled ⋈ edges →
+    groupby(dst).sum + dangling scalar."""
+    P = join_partitions(partitions)
+    n = jg.n
+    ranks = jg.degrees.map_batches(
+        lambda b: pa.table(
+            {"vid": b.column("vid"),
+             "rank": np.full(b.num_rows, 1.0 / n, dtype=np.float64)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    delta = np.inf
+    iters = 0
+    for it in range(max_iter):
+        rd = ranks.join(_tight(jg.degrees, P), join_type="inner", num_partitions=P, on=("vid",))
+
+        def scale(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            d = batch.column("deg").to_numpy(zero_copy_only=False)
+            s = np.where(d > 0, r / np.where(d > 0, d, 1.0), 0.0)
+            dang = np.where(d <= 0, r, 0.0)
+            return pa.table(
+                {"vid": batch.column("vid"), "s": s, "dang": dang}
+            )
+
+        scaled = rd.map_batches(scale, batch_format="pyarrow").materialize()
+        dangling_mass = _scalar_sum(scaled, "dang")
+        contrib = (
+            jg.edges.join(
+                _tight(scaled.select_columns(["vid", "s"]), P),
+                join_type="inner",
+                num_partitions=P,
+                on=("src",),
+                right_on=("vid",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "dst": b.column("dst"),
+                        "c": b.column("weight").to_numpy(zero_copy_only=False)
+                        * b.column("s").to_numpy(zero_copy_only=False),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("dst")
+            .sum("c")
+        )
+        incoming = _rename(contrib, ["vid", "incoming"])
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+
+        new_ranks = (
+            ranks.join(_tight(incoming, P), join_type="left_outer", num_partitions=P, on=("vid",))
+            .map_batches(
+                lambda b, _base=base: pa.table(
+                    {
+                        "vid": b.column("vid"),
+                        "rank": _base
+                        + damping
+                        * pc.coalesce(b.column("incoming"), pa.scalar(0.0))
+                        .to_numpy(zero_copy_only=False),
+                        "old": b.column("rank"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        delta_ds = new_ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "d": np.abs(
+                        b.column("rank").to_numpy(zero_copy_only=False)
+                        - b.column("old").to_numpy(zero_copy_only=False)
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        delta = _scalar_sum(delta_ds, "d")
+        ranks = new_ranks.select_columns(["vid", "rank"]).materialize()
+        iters = it + 1
+        if delta < tol:
+            break
+    return ranks, {"iterations": iters, "l1_delta": delta}
+
+
+def connected_components_joined(
+    jg: JoinedGraph, max_rounds: int = 200, partitions: int | None = None
+) -> tuple[ray.data.Dataset, dict]:
+    """Min-label propagation, labels as a Dataset (vid, label); exact."""
+    P = join_partitions(partitions)
+    labels = _rename(
+        ray.data.range(jg.n).map_batches(
+            lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
+            batch_format="pyarrow",
+        ),
+        ["vid", "label"],
+    ).materialize()
+    rounds = 0
+    while rounds < max_rounds:
+        nbr_min = (
+            jg.edges.join(
+                _tight(_rename(labels, ["vid", "dst_label"]), P),
+                join_type="inner",
+                num_partitions=P,
+                on=("dst",),
+                right_on=("vid",),
+            )
+            .groupby("src")
+            .min("dst_label")
+        )
+        nbr_min = _rename(nbr_min, ["vid", "nbr_min"])
+        merged = labels.join(
+            _tight(nbr_min, P), join_type="left_outer", num_partitions=P, on=("vid",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "label": pc.min_element_wise(
+                        b.column("label"),
+                        pc.coalesce(b.column("nbr_min"), b.column("label")),
+                    ),
+                    "changed": pc.less(
+                        pc.coalesce(b.column("nbr_min"), b.column("label")),
+                        b.column("label"),
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        changed = int(_scalar_sum(merged, "changed"))
+        labels = merged.select_columns(["vid", "label"]).materialize()
+        rounds += 1
+        if changed == 0:
+            break
+    return labels, {"rounds": rounds}
+
+
+def lpa_sweep_joined(
+    jg: JoinedGraph,
+    labels: ray.data.Dataset,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, int]:
+    """One synchronous LPA sweep (same tie rules as lpa.py: adopt label
+    with max incident weight; keep current unless strictly better or equal
+    weight with smaller label)."""
+    P = join_partitions(partitions)
+    nbr = _filter(
+        jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
+    )
+    k = (
+        nbr.join(
+            _tight(_rename(labels, ["vid", "nlab"]), P),
+            join_type="inner",
+            num_partitions=P,
+            on=("dst",),
+            right_on=("vid",),
+        )
+        .groupby(["src", "nlab"])
+        .sum("weight")
+    )
+    k = _rename(k, ["src", "nlab", "kw"]).materialize()
+    if k.count() == 0:
+        return labels, 0
+    wmax = _rename(k.groupby("src").max("kw"), ["src", "wmax"])
+    best = (
+        k.join(_tight(wmax, P), join_type="inner", num_partitions=P, on=("src",))
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("kw"), b.column("wmax"))),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Min("nlab"))
+    )
+    best = _rename(best, ["src", "best"])
+    cur_w = _seeded(
+        _rename(
+            k.join(
+                _tight(_rename(labels, ["src", "cur"]), P),
+                join_type="inner",
+                num_partitions=P,
+                on=("src",),
+            )
+            .map_batches(
+                lambda b: b.filter(pc.equal(b.column("nlab"), b.column("cur"))),
+                batch_format="pyarrow",
+            )
+            .select_columns(["src", "kw"]),
+            ["src", "curw"],
+        ),
+        src=np.int64(-1),
+        curw=0.0,
+    )
+    dec = (
+        best.join(_tight(wmax, P), join_type="inner", num_partitions=P, on=("src",))
+        .join(_tight(_rename(labels, ["src", "cur"]), P), join_type="inner", num_partitions=P, on=("src",))
+        .join(_tight(cur_w, P), join_type="left_outer", num_partitions=P, on=("src",))
+    )
+
+    def decide(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        best_l = batch.column("best").to_numpy(zero_copy_only=False)
+        wm = batch.column("wmax").to_numpy(zero_copy_only=False)
+        cur = batch.column("cur").to_numpy(zero_copy_only=False)
+        cw = pc.coalesce(batch.column("curw"), pa.scalar(0.0)).to_numpy(
+            zero_copy_only=False
+        )
+        better = (wm > cw) | ((wm == cw) & (best_l < cur))
+        return pa.table({"vid": src[better], "new_label": best_l[better]})
+
+    moved = dec.map_batches(decide, batch_format="pyarrow").materialize()
+    changed = moved.count()
+    if changed == 0:
+        return labels, 0
+    new_labels = (
+        labels.join(_tight(moved, P), join_type="left_outer", num_partitions=P, on=("vid",))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "label": pc.coalesce(b.column("new_label"), b.column("label")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    return new_labels, changed
+
+
+def label_propagation_joined(
+    jg: JoinedGraph, max_sweeps: int = 25, partitions: int | None = None
+) -> tuple[ray.data.Dataset, dict]:
+    labels = _rename(
+        ray.data.range(jg.n).map_batches(
+            lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
+            batch_format="pyarrow",
+        ),
+        ["vid", "label"],
+    ).materialize()
+    sweeps = 0
+    for _ in range(max_sweeps):
+        labels, changed = lpa_sweep_joined(jg, labels, partitions)
+        sweeps += 1
+        if changed == 0:
+            break
+    return labels, {"sweeps": sweeps}
+
+
+# ---------------------------------------------------------------------------
+# routing
+# ---------------------------------------------------------------------------
+
+
+def louvain_auto(
+    edges: ray.data.Dataset,
+    n: int,
+    config=None,
+) -> tuple[ray.data.Dataset, float, list]:
+    """Route Louvain by vertex count: the broadcast engine (fast, O(V)
+    driver state) below `config.max_broadcast_vertices`, the join path
+    (all-Dataset state) above. Returns (membership Dataset (vid, comm),
+    final Q, per-level info) either way. `edges` is a RAW (un-symmetrized)
+    edge table with dense vids."""
+    from parallel_louvain_method_ray.config import DEFAULT_CONFIG
+    from parallel_louvain_method_ray.graph.build import (
+        build_graph,
+        dedup_entries,
+        symmetrize,
+    )
+
+    cfg = config or DEFAULT_CONFIG
+    if n <= cfg.max_broadcast_vertices:
+        from dataclasses import asdict
+
+        from parallel_louvain_method_ray.algos.louvain import louvain
+
+        res = louvain(build_graph(edges, cfg, n_vertices=n), cfg)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vid": np.arange(n, dtype=np.int64),
+                    "comm": res.assignments,
+                }
+            )
+        )
+        return ds, res.modularity, [asdict(lv) for lv in res.levels]
+    entries = dedup_entries(symmetrize(edges))
+    jg = joined_graph_from_entries(entries, n)
+    return louvain_joined(jg, max_sweeps=cfg.max_sweeps, max_levels=cfg.max_levels)

@@ -73,5 +73,12 @@ class EngineConfig:
     # Checkpoint directory (None = no checkpointing).
     checkpoint_dir: str | None = None
 
+    # Vertex-count budget for the broadcast engine: above this, iterative
+    # algorithms must run on the ghost-restricted JOIN path
+    # (algos/joined.py) because O(V) dense driver/broadcast state no
+    # longer fits. `louvain_auto` routes on this knob; 2e8 int64 vids
+    # ~ 1.6 GB of driver state, a safe single-node ceiling.
+    max_broadcast_vertices: int = 200_000_000
+
 
 DEFAULT_CONFIG = EngineConfig()

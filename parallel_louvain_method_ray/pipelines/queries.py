@@ -225,6 +225,83 @@ def q_louvain_quality(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ghost-restricted (join-path) variants — same oracles, no O(V) broadcast
+# ---------------------------------------------------------------------------
+
+_joined_cache: dict[str, object] = {}
+
+
+def _joined_for(sf_dir: str):
+    from parallel_louvain_method_ray.algos.joined import joined_graph_from_handle
+
+    if sf_dir not in _joined_cache:
+        graph, _ = _graph_for(sf_dir)
+        _joined_cache[sf_dir] = joined_graph_from_handle(graph)
+    return _joined_cache[sf_dir]
+
+
+def q_pagerank5_joined(sf_dir: str):
+    from parallel_louvain_method_ray.algos.joined import _collect, pagerank_joined
+
+    _, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    ranks_ds, _ = pagerank_joined(jg, tol=0.0, max_iter=5)
+    t = _collect(ranks_ds.sort("vid"))
+    r = t.column("rank").to_numpy(zero_copy_only=False)
+    return _t(vid=raw, rank=np.round(r, 9))
+
+
+def q_cc_joined(sf_dir: str):
+    from parallel_louvain_method_ray.algos.joined import (
+        _collect,
+        connected_components_joined,
+    )
+
+    _, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    lab_ds, _ = connected_components_joined(jg)
+    lab = _collect(lab_ds.sort("vid")).column("label").to_numpy(
+        zero_copy_only=False
+    )
+    return _t(vid=raw, label=raw[lab])
+
+
+def q_lpa_one_sweep_joined(sf_dir: str):
+    from parallel_louvain_method_ray.algos.joined import (
+        _collect,
+        label_propagation_joined,
+    )
+
+    _, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    lab_ds, _ = label_propagation_joined(jg, max_sweeps=1)
+    lab = _collect(lab_ds.sort("vid")).column("label").to_numpy(
+        zero_copy_only=False
+    )
+    return _t(vid=raw, label=raw[lab])
+
+
+def q_louvain_first_sweep_joined(sf_dir: str):
+    """One pure-Jacobi sweep from singletons on the JOIN path — same
+    semantics (and the same SQL oracle) as louvain_first_sweep, with no
+    dense driver arrays."""
+    from parallel_louvain_method_ray.algos.joined import (
+        _collect,
+        louvain_sweep_joined,
+        singleton_assignment,
+    )
+
+    graph, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    assign0 = singleton_assignment(jg)
+    assign1, _ = louvain_sweep_joined(jg, assign0, 2.0 * graph.m)
+    comm = _collect(assign1.sort("vid")).column("comm").to_numpy(
+        zero_copy_only=False
+    )
+    return _t(vid=raw, comm=raw[comm])
+
+
+# ---------------------------------------------------------------------------
 # relational queries (engine breadth: filter/project/groupby/join/sort/limit)
 # ---------------------------------------------------------------------------
 
@@ -498,8 +575,17 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+ORACLE_SQL["pagerank5_joined"] = ORACLE_SQL["pagerank5"]
+ORACLE_SQL["cc_joined"] = ORACLE_SQL["connected_components"]
+ORACLE_SQL["lpa_one_sweep_joined"] = ORACLE_SQL["lpa_one_sweep"]
+
+
 QUERIES = {
     "edges_supplier_cograph": q_edges,
+    "pagerank5_joined": q_pagerank5_joined,
+    "cc_joined": q_cc_joined,
+    "lpa_one_sweep_joined": q_lpa_one_sweep_joined,
+    "louvain_first_sweep_joined": q_louvain_first_sweep_joined,
     "symmetrize_dedup": q_symmetrize,
     "weighted_degrees": q_degrees,
     "renumber_vertices": q_renumber,
@@ -984,3 +1070,4 @@ ORACLE_SQL["louvain_first_sweep"] = f"""
 """
 
 QUERIES["louvain_first_sweep"] = q_louvain_first_sweep
+ORACLE_SQL["louvain_first_sweep_joined"] = ORACLE_SQL["louvain_first_sweep"]

@@ -1,0 +1,124 @@
+"""Ghost-restricted (join-based) iterative algorithms vs the broadcast
+engine. The join path keeps ALL state in Datasets (SURVEY §4.3); on
+integer-weight fixtures its Louvain must match the pure-Jacobi kernel
+loop BIT-FOR-BIT, and PageRank/CC/LPA must match the broadcast engine."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from parallel_louvain_method_ray.algos.components import connected_components
+from parallel_louvain_method_ray.algos.joined import (
+    _collect,
+    connected_components_joined,
+    joined_graph_from_handle,
+    label_propagation_joined,
+    louvain_auto,
+    louvain_jacobi_numpy,
+    louvain_joined,
+    pagerank_joined,
+)
+from parallel_louvain_method_ray.algos.lpa import label_propagation
+from parallel_louvain_method_ray.algos.pagerank import pagerank
+from parallel_louvain_method_ray.config import EngineConfig
+from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+from parallel_louvain_method_ray.graph.csr import shard_to_entries, unpack_shards
+from tests.fixtures import planted_partition_graph, random_graph
+
+
+def _graph(src, dst, w, P=3):
+    return graph_from_entry_arrays(
+        np.asarray(src, np.int64),
+        np.asarray(dst, np.int64),
+        np.asarray(w, np.float64),
+        EngineConfig(num_partitions=P),
+    )
+
+
+def _entries_of(g):
+    srcs, dsts, ws = [], [], []
+    for b in g.shards.iter_batches(batch_format="pyarrow"):
+        for sh in unpack_shards(pa.table(b)):
+            s, d, w = shard_to_entries(sh)
+            srcs.append(s)
+            dsts.append(d)
+            ws.append(w)
+    return np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws)
+
+
+def _col(ds, col):
+    t = _collect(ds.sort("vid"))
+    return t.column(col).to_numpy(zero_copy_only=False)
+
+
+def test_louvain_joined_bitwise_matches_jacobi_kernel():
+    # planted community structure, P>1 partitions, integer weights ->
+    # every float sum is exact, so the Dataset pipeline must reproduce the
+    # numpy Jacobi kernel loop bit-for-bit (assignments AND Q)
+    src, dst, w, _ = planted_partition_graph(48, 4, 6, 1, seed=11)
+    g = _graph(src, dst, np.ones(len(src)), P=4)
+    jg = joined_graph_from_handle(g)
+    mem_ds, q, levels = louvain_joined(jg, max_sweeps=4, max_levels=2)
+    mem = _col(mem_ds, "comm")
+    es, ed, ew = _entries_of(g)
+    mem_ref, q_ref = louvain_jacobi_numpy(
+        es, ed, ew, g.n, max_sweeps=4, max_levels=2
+    )
+    np.testing.assert_array_equal(mem, mem_ref)
+    assert q == q_ref  # bitwise: identical float
+    assert levels  # at least one level of actual moves
+
+
+def test_pagerank_joined_matches_broadcast():
+    src, dst, w = random_graph(70, 5, seed=9, weights=True)
+    g = _graph(src, dst, w, P=3)
+    jg = joined_graph_from_handle(g)
+    ranks_ds, meta = pagerank_joined(jg, tol=0.0, max_iter=5)
+    rj = _col(ranks_ds, "rank")
+    rb, _ = pagerank(g, tol=0.0, max_iter=5)
+    np.testing.assert_allclose(rj, rb, atol=1e-12)
+    assert meta["iterations"] == 5
+
+
+def test_cc_joined_exact():
+    # two components
+    src = np.array([0, 1, 2, 5, 6], dtype=np.int64)
+    dst = np.array([1, 2, 3, 6, 7], dtype=np.int64)
+    g = _graph(src, dst, np.ones(5), P=2)
+    jg = joined_graph_from_handle(g)
+    lab_ds, meta = connected_components_joined(jg)
+    lj = _col(lab_ds, "label")
+    lb, _ = connected_components(g)
+    np.testing.assert_array_equal(lj, lb)
+
+
+def test_lpa_joined_matches_broadcast():
+    src, dst, w, _ = planted_partition_graph(36, 3, 5, 1, seed=4)
+    g = _graph(src, dst, np.ones(len(src)), P=3)
+    jg = joined_graph_from_handle(g)
+    lab_ds, meta = label_propagation_joined(jg, max_sweeps=3)
+    lj = _col(lab_ds, "label")
+    lb, _ = label_propagation(g, max_sweeps=3)
+    np.testing.assert_array_equal(lj, lb)
+
+
+def test_louvain_auto_routes_to_join_path():
+    # budget 0 forces the join path; result must still be the Jacobi one
+    src, dst, w, _ = planted_partition_graph(24, 2, 5, 1, seed=2)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.asarray(src, np.int64),
+                "dst": np.asarray(dst, np.int64),
+                "weight": np.ones(len(src)),
+            }
+        )
+    )
+    cfg = EngineConfig(num_partitions=2, max_broadcast_vertices=0, max_sweeps=4,
+                       max_levels=2)
+    mem_ds, q, levels = louvain_auto(edges, 24, cfg)
+    g = _graph(src, dst, np.ones(len(src)), P=2)
+    es, ed, ew = _entries_of(g)
+    mem_ref, q_ref = louvain_jacobi_numpy(es, ed, ew, 24, max_sweeps=4, max_levels=2)
+    np.testing.assert_array_equal(_col(mem_ds, "comm"), mem_ref)
+    assert q == q_ref
