@@ -146,6 +146,7 @@ class JoinedGraph:
     m: int
     n_entries: int
     total_weight: float
+    max_out_degree: int = 0  # max per-src entry count (hub detector)
 
 
 def joined_graph_from_entries(
@@ -172,6 +173,11 @@ def joined_graph_from_entries(
     )
     deg_all = _tight(deg_all, P)
     total_weight = _scalar_sum(edges, "weight")
+    from ray.data.aggregate import Max
+
+    counts = edges.groupby("src").count()
+    mx = counts.aggregate(Max("count()"))
+    max_out = int(mx.get("max(count())") or 0)
     return JoinedGraph(
         edges=edges,
         degrees=deg_all,
@@ -179,6 +185,7 @@ def joined_graph_from_entries(
         m=n_entries // 2,
         n_entries=n_entries,
         total_weight=total_weight,
+        max_out_degree=max_out,
     )
 
 
@@ -227,11 +234,40 @@ def singleton_assignment(jg: JoinedGraph) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _salted_k_sum(
+    joined: ray.data.Dataset,
+    keys: list[str],
+    value: str,
+    n_salts: int,
+) -> ray.data.Dataset:
+    """Two-stage groupby-sum with per-row salting (ops/agg.py pattern):
+    a hub key's rows are spread over n_salts reducers in the wide stage,
+    then a tiny second groupby merges partials. Result identical for
+    exact-sum weights (integers); last-ulp association otherwise."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = (np.arange(batch.num_rows) % n_salts).astype(np.int64)
+        return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+    stage1 = (
+        joined.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([*keys, "salt"])
+        .sum(value)
+    )
+    stage1 = _rename(stage1, [*keys, "salt", value])
+    return (
+        stage1.drop_columns(["salt"])
+        .groupby(keys)
+        .sum(value)
+    )
+
+
 def louvain_sweep_joined(
     jg: JoinedGraph,
     assign: ray.data.Dataset,
     m2: float,
     partitions: int | None = None,
+    hub_salts: int | None = None,
 ) -> tuple[ray.data.Dataset, int]:
     """One synchronous local-move sweep; returns (assign', moves).
 
@@ -242,7 +278,9 @@ def louvain_sweep_joined(
       cand   = k ⋈ stats(dst_comm) ⋈ vert  → gain
       argmax = groupby(src).max(gain) ⋈ filter(gain=max) → groupby.min(comm)
       accept = gain > max(gain_own, 0), singleton-swap guard
-    """
+
+    `hub_salts`: when set, the neighbor-weight groupby runs as the salted
+    two-stage aggregate (skew defense for hub vertices — SURVEY §4.2)."""
     P = join_partitions(partitions)
 
     # community stats from the snapshot
@@ -274,17 +312,20 @@ def louvain_sweep_joined(
     nbr = _filter(
         jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
     )
-    k = (
-        nbr.join(
-            _tight(_rename(assign, ["vid", "dst_comm"]), P),
-            join_type="inner",
-            num_partitions=P,
-            on=("dst",),
-            right_on=("vid",),
-        )
-        .groupby(["src", "dst_comm"])
-        .sum("weight")
+    kj = nbr.join(
+        _tight(_rename(assign, ["vid", "dst_comm"]), P),
+        join_type="inner",
+        num_partitions=P,
+        on=("dst",),
+        right_on=("vid",),
     )
+    if hub_salts:
+        k = _salted_k_sum(
+            kj.select_columns(["src", "dst_comm", "weight"]),
+            ["src", "dst_comm"], "weight", hub_salts,
+        )
+    else:
+        k = kj.groupby(["src", "dst_comm"]).sum("weight")
     k = _rename(k, ["src", "dst_comm", "kw"])
 
     f1 = _join(k, _rename(stats, ["dst_comm", "tot_c", "csize_c"]), on=("dst_comm",), P=P)
@@ -466,23 +507,34 @@ def louvain_joined(
     max_levels: int = 32,
     m_mode: str = "count",
     partitions: int | None = None,
+    hub_degree_threshold: int | None = 100_000,
 ) -> tuple[ray.data.Dataset, float, list[dict]]:
     """Multi-level pure-Jacobi Louvain, all state in Datasets. Returns
     (membership Dataset (vid, comm) over ORIGINAL vids with canonical-ish
     dense labels, final Q on the original graph, per-level info).
 
-    `louvain_jacobi_numpy` is the bit-parity reference for this loop."""
+    `louvain_jacobi_numpy` is the bit-parity reference for this loop.
+    `hub_degree_threshold`: max out-degree above which the neighbor-weight
+    groupby runs salted (16 salts) — the hub-skew defense."""
     P = join_partitions(partitions)
     jg0 = jg
     membership = singleton_assignment(jg)  # (vid, comm) comm in current level space
     levels: list[dict] = []
     for level in range(max_levels):
         m2 = 2.0 * jg.m if m_mode == "count" else jg.total_weight
+        hub_salts = (
+            16
+            if hub_degree_threshold is not None
+            and jg.max_out_degree > hub_degree_threshold
+            else None
+        )
         assign = singleton_assignment(jg)
         sweeps = 0
         total_moves = 0
         for _ in range(max_sweeps):
-            assign, moves = louvain_sweep_joined(jg, assign, m2, P)
+            assign, moves = louvain_sweep_joined(
+                jg, assign, m2, P, hub_salts=hub_salts
+            )
             sweeps += 1
             total_moves += moves
             if moves == 0:
@@ -492,26 +544,20 @@ def louvain_joined(
             break
         coarse, comm_map = coarsen_joined(jg, assign, P)
         # membership: orig vid -> level comm; compose with assign then map
-        membership = (
-            membership.join(
-                _tight(_rename(assign, ["lvl_vid", "lvl_comm"]), P),
-                join_type="inner",
-                num_partitions=P,
-                on=("comm",),
-                right_on=("lvl_vid",),
-            )
-            .select_columns(["vid", "lvl_comm"])
-        )
-        membership = (
-            membership.join(
-                _tight(_rename(comm_map, ["lvl_comm", "new_id"]), P),
-                join_type="inner",
-                num_partitions=P,
-                on=("lvl_comm",),
-            )
-            .select_columns(["vid", "new_id"])
-        )
-        membership = _rename(membership, ["vid", "comm"]).materialize()
+        membership = _join(
+            membership,
+            _rename(assign, ["lvl_vid", "lvl_comm"]),
+            on=("comm",),
+            right_on=("lvl_vid",),
+            P=P,
+        ).select_columns(["vid", "lvl_comm"])
+        membership = _join(
+            membership,
+            _rename(comm_map, ["lvl_comm", "new_id"]),
+            on=("lvl_comm",),
+            P=P,
+        ).select_columns(["vid", "new_id"])
+        membership = _tight(_rename(membership, ["vid", "comm"]), P)
         levels.append(
             {"level": level, "n": jg.n, "m": jg.m, "sweeps": sweeps,
              "moves": total_moves}
@@ -744,25 +790,30 @@ def lpa_sweep_joined(
     jg: JoinedGraph,
     labels: ray.data.Dataset,
     partitions: int | None = None,
+    hub_salts: int | None = None,
 ) -> tuple[ray.data.Dataset, int]:
     """One synchronous LPA sweep (same tie rules as lpa.py: adopt label
     with max incident weight; keep current unless strictly better or equal
-    weight with smaller label)."""
+    weight with smaller label). `hub_salts`: salted two-stage
+    neighbor-label aggregate (hub-skew defense)."""
     P = join_partitions(partitions)
     nbr = _filter(
         jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
     )
-    k = (
-        nbr.join(
-            _tight(_rename(labels, ["vid", "nlab"]), P),
-            join_type="inner",
-            num_partitions=P,
-            on=("dst",),
-            right_on=("vid",),
-        )
-        .groupby(["src", "nlab"])
-        .sum("weight")
+    kj = nbr.join(
+        _tight(_rename(labels, ["vid", "nlab"]), P),
+        join_type="inner",
+        num_partitions=P,
+        on=("dst",),
+        right_on=("vid",),
     )
+    if hub_salts:
+        k = _salted_k_sum(
+            kj.select_columns(["src", "nlab", "weight"]),
+            ["src", "nlab"], "weight", hub_salts,
+        )
+    else:
+        k = kj.groupby(["src", "nlab"]).sum("weight")
     k = _rename(k, ["src", "nlab", "kw"]).materialize()
     if k.count() == 0:
         return labels, 0
@@ -833,8 +884,17 @@ def lpa_sweep_joined(
 
 
 def label_propagation_joined(
-    jg: JoinedGraph, max_sweeps: int = 25, partitions: int | None = None
+    jg: JoinedGraph,
+    max_sweeps: int = 25,
+    partitions: int | None = None,
+    hub_degree_threshold: int | None = 100_000,
 ) -> tuple[ray.data.Dataset, dict]:
+    hub_salts = (
+        16
+        if hub_degree_threshold is not None
+        and jg.max_out_degree > hub_degree_threshold
+        else None
+    )
     labels = _rename(
         ray.data.range(jg.n).map_batches(
             lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
@@ -844,7 +904,9 @@ def label_propagation_joined(
     ).materialize()
     sweeps = 0
     for _ in range(max_sweeps):
-        labels, changed = lpa_sweep_joined(jg, labels, partitions)
+        labels, changed = lpa_sweep_joined(
+            jg, labels, partitions, hub_salts=hub_salts
+        )
         sweeps += 1
         if changed == 0:
             break

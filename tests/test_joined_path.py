@@ -122,3 +122,24 @@ def test_louvain_auto_routes_to_join_path():
     mem_ref, q_ref = louvain_jacobi_numpy(es, ed, ew, 24, max_sweeps=4, max_levels=2)
     np.testing.assert_array_equal(_col(mem_ds, "comm"), mem_ref)
     assert q == q_ref
+
+
+def test_louvain_joined_salted_hub_path_bitwise():
+    # hub fixture: a star center with high degree; tiny threshold forces
+    # the SALTED two-stage neighbor-weight aggregate — result must still
+    # be bit-identical to the unsalted Jacobi kernel (integer weights)
+    src, dst, w, _ = planted_partition_graph(30, 3, 4, 1, seed=7)
+    hub_src = np.zeros(29, dtype=np.int64)
+    hub_dst = np.arange(1, 30, dtype=np.int64)
+    src = np.concatenate([src, hub_src])
+    dst = np.concatenate([dst, hub_dst])
+    g = _graph(src, dst, np.ones(len(src)), P=3)
+    jg = joined_graph_from_handle(g)
+    assert jg.max_out_degree > 3
+    mem_s, q_s, _ = louvain_joined(
+        jg, max_sweeps=3, max_levels=1, hub_degree_threshold=2
+    )
+    es, ed, ew = _entries_of(g)
+    mem_ref, q_ref = louvain_jacobi_numpy(es, ed, ew, g.n, max_sweeps=3, max_levels=1)
+    np.testing.assert_array_equal(_col(mem_s, "comm"), mem_ref)
+    assert q_s == q_ref
