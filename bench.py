@@ -186,7 +186,12 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
     # FIXED partition count: both scaling legs must run the identical graph
     # layout — only the CPU count varies (N vs 4N stand-in). Low shard-split
     # threshold so hub-heavy partitions split and LPT-balance across workers.
-    cfg = EngineConfig(num_partitions=32, max_entries_per_shard=150_000)
+    # polish_sweeps=0: the scaling metric counts entry-touches of the core
+    # sweep engine; the post-convergence polish is a quality feature whose
+    # work isn't in the edge_work denominator
+    cfg = EngineConfig(
+        num_partitions=32, max_entries_per_shard=150_000, polish_sweeps=0
+    )
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()

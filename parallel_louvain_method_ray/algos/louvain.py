@@ -473,6 +473,66 @@ def _driver_coarsen(
     return coarse, dense
 
 
+def _polish(
+    graph0: GraphHandle,
+    membership: np.ndarray,
+    cfg: EngineConfig,
+    m_mode: str,
+    pool,
+) -> np.ndarray:
+    """Refinement sweeps on the ORIGINAL graph from the composed
+    membership. Strict Gauss-Seidel driver-side when the entry list fits
+    `polish_driver_entries` (each accepted move strictly improves Q);
+    otherwise chunked-kernel sweeps through the pool. The polished
+    assignment is kept only when its exact Q beats the input's."""
+    m2 = _m2(graph0, m_mode)
+    if m2 <= 0:
+        return membership
+    n = graph0.n
+    deg = graph0.degrees()
+    if graph0.n_entries <= cfg.polish_driver_entries:
+        src, dst, w = _collect_entries(graph0)
+        order = np.lexsort((w, dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+
+        def q_of(a: np.ndarray) -> float:
+            mask = (src != dst) & (a[src] == a[dst])
+            tot_ = np.bincount(a, weights=deg, minlength=n)
+            nz = tot_ > 0
+            return float(w[mask].sum()) / m2 - float(((tot_[nz] / m2) ** 2).sum())
+
+        q0 = q_of(membership)
+        assign = membership.copy()
+        tot = np.bincount(assign, weights=deg, minlength=n)
+        csize = np.bincount(assign, minlength=n)
+        vids = np.arange(n, dtype=np.int64)
+        for _ in range(cfg.polish_sweeps):
+            moves = local_move_sweep(
+                vids, indptr, dst, w, assign, tot, deg, m2,
+                tie_break="canonical", csize=csize,
+            )
+            if moves == 0:
+                break
+        return assign if q_of(assign) > q0 else membership
+    # large graph: pool-path refinement (chunked kernel), Q-gated
+    if pool is not None and pool.graph is not graph0:
+        pool.reload(graph0)
+    from dataclasses import replace
+
+    cfg_p = replace(cfg, max_sweeps=cfg.polish_sweeps, polish_sweeps=0)
+    assign, _, metrics = louvain_level(
+        graph0, cfg_p, "canonical", start_assign=membership,
+        m_mode=m_mode, pool=pool,
+    )
+    return (
+        assign
+        if metrics.modularity_after > metrics.modularity_before
+        else membership
+    )
+
+
 def canonicalize_labels(labels: np.ndarray) -> np.ndarray:
     """Relabel communities densely in order of their smallest member vid —
     the tie-break canonicalization BASELINE.json licenses for comparing
@@ -525,6 +585,7 @@ def louvain(
     from parallel_louvain_method_ray.state.shard_pool import ShardPool
 
     pool = None
+    any_distributed = False
     try:
       for level in range(start_level, cfg.max_levels):
         on_sweep = None
@@ -532,6 +593,7 @@ def louvain(
             checkpointer.begin_level(level, graph, membership)
             on_sweep = lambda s, a, mv: checkpointer.on_sweep(level, s, a, mv)
         local = graph.n_entries <= cfg.driver_local_entries
+        any_distributed = any_distributed or not local
         if not local and use_pool:
             if pool is None:
                 pool = ShardPool(graph)
@@ -579,6 +641,17 @@ def louvain(
         if not improved:
             break
         graph = coarse
+      # polish: refinement sweeps on the ORIGINAL graph from the composed
+      # membership (closes the chunked-Jacobi quality gap of distributed
+      # levels — a move-refine pass in the spirit of Leiden's refinement;
+      # strict GS when the graph fits the driver budget). Kept only if Q
+      # improves, and only for runs with DISTRIBUTED levels: fully
+      # driver-local runs are already strict GS and stay bit-exact vs the
+      # sequential oracle.
+      if cfg.polish_sweeps > 0 and len(levels) > 0 and any_distributed:
+          membership = _polish(
+              graph0, membership, cfg, m_mode, pool if use_pool else None
+          )
       # final Q on the ORIGINAL graph under the composed assignments
       if graph0.n_entries <= cfg.driver_local_entries:
           src0, dst0, w0 = _collect_entries(graph0)

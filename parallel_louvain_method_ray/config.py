@@ -59,6 +59,17 @@ class EngineConfig:
     # csr.pack_shard_table).
     max_entries_per_shard: int = 4_000_000
 
+    # After the multi-level loop converges, run up to this many REFINEMENT
+    # sweeps on the ORIGINAL graph starting from the composed membership
+    # (strict Gauss-Seidel when the graph fits the driver budget below,
+    # chunked kernel otherwise). Escapes coarse-level chunk-Jacobi
+    # lock-ins; only kept when it improves Q. 0 disables.
+    polish_sweeps: int = 3
+
+    # Max entries for the DRIVER-side strict-GS polish; larger graphs
+    # polish through the shard pool (chunked kernel).
+    polish_driver_entries: int = 5_000_000
+
     # Opt-in: Louvain sweeps rescan only the neighbors of the previous
     # sweep's moves (throughput-first; ~0.04 modularity cost on planted
     # web graphs — see algos/louvain.py).

@@ -61,6 +61,23 @@ class ShardWorker:
                 sub = block.take(pa.array(rows, type=pa.int64()))
                 self.shards.extend(unpack_shards(sub))
             gidx += block.num_rows
+        # int32 CSR ids when they fit: the sweep kernels are memory-
+        # bandwidth-bound (random gathers over cols/vids), so halving the
+        # id width is a direct throughput win (BASELINE.md scaling note).
+        # Copies once per level; indptr stays int64 (offsets).
+        for i, sh in enumerate(self.shards):
+            hi = max(
+                int(sh.vids.max()) if sh.vids.shape[0] else 0,
+                int(sh.cols.max()) if sh.cols.shape[0] else 0,
+            )
+            if hi < 2**31 - 1:
+                self.shards[i] = type(sh)(
+                    sh.pid,
+                    sh.vids.astype(np.int32),
+                    sh.indptr,
+                    sh.cols.astype(np.int32),
+                    sh.weights,
+                )
         return True
 
     def louvain_sweep(
@@ -83,10 +100,19 @@ class ShardWorker:
             )
         n = assign_in.shape[0]
         canonical = tie_break == "canonical"
-        assign = np.array(assign_in)
+        # int32 working copy (comm ids < n < 2^31): halves the random-
+        # gather traffic of comm[nbr] in the chunked kernel
+        small = n < 2**31 - 1
+        assign = np.array(assign_in, dtype=np.int32 if small else np.int64)
         tot = np.bincount(assign, weights=deg, minlength=n)
         tot0 = tot.copy()
-        csize = np.bincount(assign, minlength=n) if canonical else None
+        csize = (
+            np.bincount(assign, minlength=n).astype(
+                np.int32 if small else np.int64
+            )
+            if canonical
+            else None
+        )
         csize0 = csize.copy() if canonical else None
         for shard in self.shards:
             if not canonical:

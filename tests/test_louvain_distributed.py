@@ -89,6 +89,16 @@ def test_multilevel_matches_oracle_p1():
     )
 
 
+def test_polish_closes_jacobi_gap_p8():
+    """Distributed levels (chunked Jacobi) + strict-GS polish must land
+    within 0.005 of the sequential oracle's Q on a planted graph at P=8."""
+    src, dst, w, _ = planted_partition_graph(240, 8, 6, 1, seed=17)
+    _, q_oracle, _ = louvain_reference(src, dst, w, tie_break="canonical")
+    cfg = EngineConfig(num_partitions=8, driver_local_entries=0)
+    res = louvain(graph_from_entry_arrays(src, dst, w, cfg))
+    assert res.modularity >= q_oracle - 0.005
+
+
 def test_canonicalize_labels():
     lab = np.array([5, 5, 2, 7, 2])
     np.testing.assert_array_equal(canonicalize_labels(lab), [0, 0, 1, 2, 1])
