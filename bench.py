@@ -141,8 +141,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["cosine_topk"] = time.time() - t0
 
     total = sum(timings.values())
-    # deterministic edge work: every sweep/iteration touches every entry once
-    edge_work = graph.n_entries * (louvain_sweeps + pr_meta["iterations"])
+    # deterministic edge work: each sweep touches ITS level's entries once
+    # (coarse-level sweeps are cheap and counted as such), each PageRank
+    # iteration the full entry set
+    edge_work = sum(2 * lv.m * lv.sweeps for lv in res.levels) + (
+        graph.n_entries * pr_meta["iterations"]
+    )
     graph_secs = timings["louvain"] + timings["pagerank"]
     return {
         "metric": "flagship_pipeline_total",
@@ -223,7 +227,9 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
     ranks, pr_meta = pagerank(graph, tol=0.0, max_iter=10)
     t_pr = time.time() - t0
     sweeps = sum(l.sweeps for l in res.levels)
-    edge_work = graph.n_entries * (sweeps + pr_meta["iterations"])
+    edge_work = sum(2 * lv.m * lv.sweeps for lv in res.levels) + (
+        graph.n_entries * pr_meta["iterations"]
+    )
     return {
         "metric": "graph_engine_scaling_unit",
         "value": round(t_build + t_louvain + t_pr, 3),

@@ -509,9 +509,12 @@ def _polish(
         csize = np.bincount(assign, minlength=n)
         vids = np.arange(n, dtype=np.int64)
         for _ in range(cfg.polish_sweeps):
-            moves = local_move_sweep(
+            # chunk=16: near-Gauss-Seidel quality at vectorized-kernel
+            # speed (the per-vertex strict loop costs seconds at bench
+            # scale for ~the same refinement)
+            moves = chunked_local_move_sweep(
                 vids, indptr, dst, w, assign, tot, deg, m2,
-                tie_break="canonical", csize=csize,
+                csize=csize, chunk=16,
             )
             if moves == 0:
                 break
@@ -592,7 +595,10 @@ def louvain(
         if checkpointer is not None:
             checkpointer.begin_level(level, graph, membership)
             on_sweep = lambda s, a, mv: checkpointer.on_sweep(level, s, a, mv)
-        local = graph.n_entries <= cfg.driver_local_entries
+        local = (
+            graph.n_entries <= cfg.driver_local_entries
+            or graph.n <= cfg.driver_local_vertices
+        )
         any_distributed = any_distributed or not local
         if not local and use_pool:
             if pool is None:
@@ -639,6 +645,13 @@ def louvain(
             checkpointer.end_level(level, metrics)
         final_q = metrics.modularity_after
         if not improved:
+            break
+        if coarse.n == graph.n:
+            # coarsening made no progress — e.g. the oscillation guard
+            # reverted the level to its starting assignment, or every move
+            # was a pure label permutation. Continuing would repeat the
+            # identical level until max_levels (observed at mult=256:
+            # 30 wasted levels x 14 sweeps).
             break
         graph = coarse
       # polish: refinement sweeps on the ORIGINAL graph from the composed

@@ -84,10 +84,10 @@ class MinHasher:
 
 
 def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
-    from parallel_louvain_method_ray.ops.pool import elastic_pool
+    from parallel_louvain_method_ray.ops.pool import cached_stage
 
     return docs.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=elastic_pool()
+        cached_stage(MinHasher), batch_format="pyarrow", batch_size=128
     )
 
 

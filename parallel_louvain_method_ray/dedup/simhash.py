@@ -55,10 +55,10 @@ class SimHasher:
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
-    from parallel_louvain_method_ray.ops.pool import elastic_pool
+    from parallel_louvain_method_ray.ops.pool import cached_stage
 
     return docs.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=elastic_pool()
+        cached_stage(SimHasher), batch_format="pyarrow", batch_size=128
     )
 
 

@@ -16,10 +16,38 @@ import ray
 
 
 def elastic_pool(cap: int | None = None) -> tuple[int, int]:
-    """(1, cap) with cap defaulting to the cluster CPU count."""
+    """(min, cap) with cap defaulting to the cluster CPU count.
+
+    min is 2 (cheap pre-warm; the r1 pools were hard-capped AT 2 and
+    starved 32-CPU runs) but never more than half the cluster — a large
+    minimum reservation deadlocks small clusters against shuffle tasks."""
     if cap is None:
         if ray.is_initialized():
             cap = int(ray.cluster_resources().get("CPU", 0)) or None
         if cap is None:
             cap = os.cpu_count() or 4
-    return (1, max(2, cap))
+    cap = max(2, cap)
+    return (min(2, max(1, cap // 2)), cap)
+
+
+_STAGE_CACHE: dict = {}
+
+
+def cached_stage(cls):
+    """map_batches callable holding a PER-WORKER-PROCESS cached instance
+    of `cls` (setup still runs once per worker, as with an actor pool).
+
+    For tiny-state stages (compiled regexes, a 1 KB permutation table)
+    the task pool reuses already-warm Ray worker processes, while an
+    actor pool pays ~2 s of fresh actor spawn per stage — measured to
+    dominate the whole stage at bench scale. Heavy-state stages (the
+    HTML extractor) keep real actor pools."""
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(cls)
+        if inst is None:
+            inst = _STAGE_CACHE[cls] = cls()
+        return inst(batch)
+
+    fn.__name__ = f"cached_{cls.__name__}"
+    return fn

@@ -52,10 +52,10 @@ class TextStats:
 
 
 def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
-    from parallel_louvain_method_ray.ops.pool import elastic_pool
+    from parallel_louvain_method_ray.ops.pool import cached_stage
 
     return docs.map_batches(
-        TextStats, batch_format="pyarrow", concurrency=elastic_pool()
+        cached_stage(TextStats), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -145,8 +145,8 @@ class LangId:
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
-    from parallel_louvain_method_ray.ops.pool import elastic_pool
+    from parallel_louvain_method_ray.ops.pool import cached_stage
 
     return docs.map_batches(
-        LangId, batch_format="pyarrow", concurrency=elastic_pool()
+        cached_stage(LangId), batch_format="pyarrow", batch_size=256
     )

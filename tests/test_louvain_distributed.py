@@ -94,7 +94,9 @@ def test_polish_closes_jacobi_gap_p8():
     within 0.005 of the sequential oracle's Q on a planted graph at P=8."""
     src, dst, w, _ = planted_partition_graph(240, 8, 6, 1, seed=17)
     _, q_oracle, _ = louvain_reference(src, dst, w, tie_break="canonical")
-    cfg = EngineConfig(num_partitions=8, driver_local_entries=0)
+    cfg = EngineConfig(
+        num_partitions=8, driver_local_entries=0, driver_local_vertices=0
+    )
     res = louvain(graph_from_entry_arrays(src, dst, w, cfg))
     assert res.modularity >= q_oracle - 0.005
 
