@@ -424,7 +424,9 @@ def _driver_level(
     csize = np.bincount(assign, minlength=n) if tie_break == "canonical" else None
     tot = np.bincount(assign, weights=deg, minlength=n)
     # strict per-vertex Gauss-Seidel below 20k vertices (bit-exact vs the
-    # sequential oracle on test graphs); vectorized chunked kernel above
+    # sequential oracle on test graphs, and converges in the fewest
+    # sweeps — measured better than the chunked kernel even on heavy
+    # coarse levels); vectorized chunked kernel above
     use_chunked = tie_break == "canonical" and n > 20_000
     for sweep in range(start_sweep, cfg.max_sweeps):
         if use_chunked:

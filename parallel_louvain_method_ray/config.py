@@ -54,6 +54,13 @@ class EngineConfig:
     # aggregations (None = auto from the degree histogram).
     hub_degree_threshold: int | None = None
 
+    # Vertex-block size of the pool workers' chunked local-move kernel
+    # (Jacobi within a block, Gauss-Seidel across blocks). Larger blocks
+    # amortize per-chunk numpy overhead (the sweep bottleneck at scale);
+    # smaller blocks converge in fewer sweeps. 256 measured ~2x sweep
+    # throughput vs 64 with no modularity loss on the planted web graphs.
+    kernel_chunk: int = 256
+
     # A partition with more CSR entries than this is split into multiple
     # shard rows on vertex boundaries (hub-skew straggler defense — see
     # csr.pack_shard_table).

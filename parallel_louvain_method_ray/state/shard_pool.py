@@ -31,6 +31,11 @@ from parallel_louvain_method_ray.algos._local_move import (
 from parallel_louvain_method_ray.graph.csr import unpack_shards
 
 
+@ray.remote(num_cpus=0)
+def _sum_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
 @ray.remote(num_cpus=0, scheduling_strategy="SPREAD")
 class ShardWorker:
     """num_cpus=0: the pool is BSP-synchronous (never more than one busy
@@ -81,7 +86,8 @@ class ShardWorker:
         return True
 
     def louvain_sweep(
-        self, assign_in, deg, m2: float, tie_break: str, active_in=None
+        self, assign_in, deg, m2: float, tie_break: str, active_in=None,
+        chunk: int = 256,
     ):
         # ObjectRef args are auto-resolved by Ray before the method runs.
         # Every shard must see the PRE-SWEEP global snapshot (partition
@@ -133,6 +139,7 @@ class ShardWorker:
                     deg,
                     m2,
                     csize=csize,
+                    chunk=chunk,
                     active=active_in,
                 )
             else:
@@ -313,12 +320,19 @@ class ShardPool:
 
     def sweep(self, assign, tot, csize, m2, tie_break, active=None):
         """Returns (changed_vids, new_comms, moves, neighbors_of_moved)."""
+        if assign.shape[0] < 2**31 - 1 and assign.dtype != np.int32:
+            # halve the per-round broadcast (comm ids fit int32)
+            assign = assign.astype(np.int32)
         assign_ref = ray.put(assign)
         active_ref = ray.put(active) if active is not None else None
+        chunk = getattr(
+            getattr(self.graph, "config", None), "kernel_chunk", 256
+        ) or 256
         outs = ray.get(
             [
                 w.louvain_sweep.remote(
-                    assign_ref, self.graph.degrees_ref, m2, tie_break, active_ref
+                    assign_ref, self.graph.degrees_ref, m2, tie_break,
+                    active_ref, chunk
                 )
                 for w in self.workers
             ]
@@ -339,12 +353,19 @@ class ShardPool:
     def pagerank_iter(self, scaled) -> np.ndarray:
         ref = ray.put(scaled)
         n = self.graph.n
-        incoming = np.zeros(n, dtype=np.float64)
-        for part in ray.get(
-            [w.pagerank_iter.remote(ref, n) for w in self.workers]
-        ):
-            incoming += part
-        return incoming
+        refs = [w.pagerank_iter.remote(ref, n) for w in self.workers]
+        # tree-reduce the dense per-worker partials in remote tasks: with
+        # W workers a driver-side sum is W x 8n bytes of serial driver
+        # work per iteration (measured anti-scaling: more workers made
+        # PageRank SLOWER); the tree leaves the driver one array
+        while len(refs) > 1:
+            nxt = []
+            for i in range(0, len(refs) - 1, 2):
+                nxt.append(_sum_arrays.remote(refs[i], refs[i + 1]))
+            if len(refs) % 2:
+                nxt.append(refs[-1])
+            refs = nxt
+        return ray.get(refs[0])
 
     def cc_round(self, labels):
         ref = ray.put(labels)
