@@ -297,9 +297,10 @@ def louvain_level(
             # planted web graph, so quality-first runs keep full sweeps.
             eff_active = active if cfg.active_set_sweeps else None
             cv, cc, moves, nbrs = pool.sweep(
-                assign, None, None, _m2(graph, m_mode), tie_break, active=eff_active
+                assign, None, None, _m2(graph, m_mode), tie_break,
+                active=eff_active, need_active=cfg.active_set_sweeps,
             )
-            if tie_break == "canonical":
+            if tie_break == "canonical" and cfg.active_set_sweeps:
                 active = np.zeros(n, dtype=bool)
                 active[nbrs] = True
                 active[cv] = True

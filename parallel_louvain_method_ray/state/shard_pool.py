@@ -87,7 +87,7 @@ class ShardWorker:
 
     def louvain_sweep(
         self, assign_in, deg, m2: float, tie_break: str, active_in=None,
-        chunk: int = 256,
+        chunk: int = 256, need_active: bool = False,
     ):
         # ObjectRef args are auto-resolved by Ray before the method runs.
         # Every shard must see the PRE-SWEEP global snapshot (partition
@@ -162,7 +162,10 @@ class ShardWorker:
             out_v.append(cv)
             out_c.append(cc)
             # neighbors of moved vertices -> next sweep's active set
-            if cv.shape[0]:
+            # (skipped unless active-set sweeps are on: the driver-side
+            # unique over ~E/2 ids was measured as ~0.4s of SERIAL cost
+            # per round — the dominant Amdahl term of the sweep)
+            if need_active and cv.shape[0]:
                 rows_idx = np.flatnonzero(changed)
                 cnts = np.diff(shard.indptr)[rows_idx]
                 total = int(cnts.sum())
@@ -282,9 +285,12 @@ def _row_assignment(graph, num_workers: int | None):
         sizes.extend(pa.table(b).column("n_entries").to_pylist())
     if num_workers is None:
         # half the CPUs: leaves headroom for the driver + Ray system
-        # processes; beyond ~cpus/2 actors per-round coordination degrades
-        avail = int(ray.available_resources().get("CPU", 8))
-        num_workers = max(1, min(max(len(sizes), 1), max(avail // 2, 1)))
+        # processes; beyond ~cpus/2 actors per-round coordination degrades.
+        # CLUSTER total, not available_resources: lingering Ray Data
+        # operator actors make the latter fluctuate, which made pool sizes
+        # (and sweep times) nondeterministic run-to-run.
+        total = int(ray.cluster_resources().get("CPU", 8))
+        num_workers = max(1, min(max(len(sizes), 1), max(total // 2, 1)))
     loads = [0] * num_workers
     assignment: list[list[int]] = [[] for _ in range(num_workers)]
     for row in sorted(range(len(sizes)), key=lambda i: -sizes[i]):
@@ -318,8 +324,12 @@ class ShardPool:
         self.graph = graph
         return self
 
-    def sweep(self, assign, tot, csize, m2, tie_break, active=None):
-        """Returns (changed_vids, new_comms, moves, neighbors_of_moved)."""
+    def sweep(
+        self, assign, tot, csize, m2, tie_break, active=None,
+        need_active: bool = False,
+    ):
+        """Returns (changed_vids, new_comms, moves, neighbors_of_moved);
+        neighbors are only computed when `need_active` (active-set mode)."""
         if assign.shape[0] < 2**31 - 1 and assign.dtype != np.int32:
             # halve the per-round broadcast (comm ids fit int32)
             assign = assign.astype(np.int32)
@@ -332,7 +342,7 @@ class ShardPool:
             [
                 w.louvain_sweep.remote(
                     assign_ref, self.graph.degrees_ref, m2, tie_break,
-                    active_ref, chunk
+                    active_ref, chunk, need_active
                 )
                 for w in self.workers
             ]
