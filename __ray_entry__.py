@@ -38,21 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # louvain_quality's oracle recomputes Q from the engine's emitted
-    # assignment (a /tmp parquet bridge). Pre-write it for the standard
-    # correctness dir so the SQL is runnable regardless of whether the
-    # driver executes oracles before or after the Ray queries; the
-    # queries() callable rewrites it (deterministically identical) when
-    # it runs.
-    try:
-        import ray
-
-        # only when Ray is up (the driver inits it before calling us) AND
-        # no queries() call has written the bridge in this process — a
-        # second write here could clobber a different-sf assignment right
-        # before the SQL reads it
-        if ray.is_initialized() and not _q.louvain_bridge_written():
-            _q.ensure_louvain_assign("/root/testdata/sf0.01")
-    except Exception:
-        pass
+    # Side-effect-free and instant: louvain_quality's oracle recomputes Q
+    # from the engine's emitted assignment (an sf-keyed /tmp parquet
+    # bridge) which the `louvain_quality` queries() callable writes when
+    # it runs — no Louvain is executed inside this metadata call.
     return dict(_q.ORACLE_SQL)

@@ -160,8 +160,8 @@ def joined_graph_from_entries(
     agg = edges.groupby("src").sum("weight")
     deg_present = _rename(agg, ["vid", "deg"])
     vertices = _rename(ray.data.range(n), ["vid"])
-    deg_all = vertices.join(
-        _tight(deg_present, P), join_type="left_outer", num_partitions=P, on=("vid",)
+    deg_all = _join(
+        vertices, deg_present, on=("vid",), how="left_outer", P=P
     ).map_batches(
         lambda b: pa.table(
             {
@@ -284,9 +284,7 @@ def louvain_sweep_joined(
     P = join_partitions(partitions)
 
     # community stats from the snapshot
-    ad = assign.join(
-        _tight(jg.degrees, P), join_type="inner", num_partitions=P, on=("vid",)
-    ).materialize()
+    ad = _tight(_join(assign, jg.degrees, on=("vid",), P=P), P)
     stats = _tight(
         _rename(
             ad.groupby("comm").aggregate(Sum("deg"), Count()),
@@ -297,11 +295,11 @@ def louvain_sweep_joined(
 
     # per-vertex own-side info
     vert = _rename(
-        ad.join(
-            _tight(_rename(stats, ["comm", "tot_own", "csize_own"]), P),
-            join_type="inner",
-            num_partitions=P,
+        _join(
+            ad,
+            _rename(stats, ["comm", "tot_own", "csize_own"]),
             on=("comm",),
+            P=P,
         ).select_columns(["vid", "comm", "deg", "tot_own", "csize_own"]),
         ["vid", "own", "dv", "tot_own", "csize_own"],
     )
@@ -312,12 +310,12 @@ def louvain_sweep_joined(
     nbr = _filter(
         jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
     )
-    kj = nbr.join(
-        _tight(_rename(assign, ["vid", "dst_comm"]), P),
-        join_type="inner",
-        num_partitions=P,
+    kj = _join(
+        nbr,
+        _rename(assign, ["vid", "dst_comm"]),
         on=("dst",),
         right_on=("vid",),
+        P=P,
     )
     if hub_salts:
         k = _salted_k_sum(
@@ -441,19 +439,21 @@ def modularity_joined(
     P = join_partitions(partitions)
     a_src = _rename(assign, ["vid", "c_src"])
     a_dst = _rename(assign, ["vid", "c_dst"])
-    both = (
-        _filter(
-            jg.edges,
-            lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst"))),
-        )
-        .join(_tight(a_src, P), join_type="inner", num_partitions=P, on=("src",), right_on=("vid",))
-        .join(_tight(a_dst, P), join_type="inner", num_partitions=P, on=("dst",), right_on=("vid",))
+    both = _join(
+        _join(
+            _filter(
+                jg.edges,
+                lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst"))),
+            ),
+            a_src, on=("src",), right_on=("vid",), P=P,
+        ),
+        a_dst, on=("dst",), right_on=("vid",), P=P,
     )
     intra_ds = _filter(
         both, lambda b: pc.equal(b.column("c_src"), b.column("c_dst"))
     )
     intra = _scalar_sum(intra_ds, "weight")
-    ad = assign.join(_tight(jg.degrees, P), join_type="inner", num_partitions=P, on=("vid",))
+    ad = _join(assign, jg.degrees, on=("vid",), P=P)
     tot = _rename(ad.groupby("comm").sum("deg"), ["comm", "tot"])
 
     def sq(batch: pa.Table) -> pa.Table:
@@ -482,17 +482,17 @@ def coarsen_joined(
     comm_map = assign_dense_ids(distinct, "comm").materialize()  # (comm, vid=new)
     comm_map = _rename(comm_map, ["comm", "new_id"])
 
-    a_new = (
-        assign.join(_tight(comm_map, P), join_type="inner", num_partitions=P, on=("comm",))
-        .select_columns(["vid", "new_id"])
+    a_new = _join(assign, comm_map, on=("comm",), P=P).select_columns(
+        ["vid", "new_id"]
     )
+    a_new = _tight(a_new, P)
     a_src = _rename(a_new, ["vid", "c_src"])
     a_dst = _rename(a_new, ["vid", "c_dst"])
     ce = (
-        jg.edges.join(
-            a_src, join_type="inner", num_partitions=P, on=("src",), right_on=("vid",)
+        _join(
+            _join(jg.edges, a_src, on=("src",), right_on=("vid",), P=P),
+            a_dst, on=("dst",), right_on=("vid",), P=P,
         )
-        .join(_tight(a_dst, P), join_type="inner", num_partitions=P, on=("dst",), right_on=("vid",))
         .groupby(["c_src", "c_dst"])
         .sum("weight")
     )
@@ -661,7 +661,7 @@ def pagerank_joined(
     delta = np.inf
     iters = 0
     for it in range(max_iter):
-        rd = ranks.join(_tight(jg.degrees, P), join_type="inner", num_partitions=P, on=("vid",))
+        rd = _join(ranks, jg.degrees, on=("vid",), P=P)
 
         def scale(batch: pa.Table) -> pa.Table:
             r = batch.column("rank").to_numpy(zero_copy_only=False)
@@ -675,12 +675,12 @@ def pagerank_joined(
         scaled = rd.map_batches(scale, batch_format="pyarrow").materialize()
         dangling_mass = _scalar_sum(scaled, "dang")
         contrib = (
-            jg.edges.join(
-                _tight(scaled.select_columns(["vid", "s"]), P),
-                join_type="inner",
-                num_partitions=P,
+            _join(
+                jg.edges,
+                scaled.select_columns(["vid", "s"]),
                 on=("src",),
                 right_on=("vid",),
+                P=P,
             )
             .map_batches(
                 lambda b: pa.table(
@@ -699,7 +699,7 @@ def pagerank_joined(
         base = (1.0 - damping) / n + damping * dangling_mass / n
 
         new_ranks = (
-            ranks.join(_tight(incoming, P), join_type="left_outer", num_partitions=P, on=("vid",))
+            _join(ranks, incoming, on=("vid",), how="left_outer", P=P)
             .map_batches(
                 lambda b, _base=base: pa.table(
                     {
@@ -749,19 +749,19 @@ def connected_components_joined(
     rounds = 0
     while rounds < max_rounds:
         nbr_min = (
-            jg.edges.join(
-                _tight(_rename(labels, ["vid", "dst_label"]), P),
-                join_type="inner",
-                num_partitions=P,
+            _join(
+                jg.edges,
+                _rename(labels, ["vid", "dst_label"]),
                 on=("dst",),
                 right_on=("vid",),
+                P=P,
             )
             .groupby("src")
             .min("dst_label")
         )
         nbr_min = _rename(nbr_min, ["vid", "nbr_min"])
-        merged = labels.join(
-            _tight(nbr_min, P), join_type="left_outer", num_partitions=P, on=("vid",)
+        merged = _join(
+            labels, nbr_min, on=("vid",), how="left_outer", P=P
         ).map_batches(
             lambda b: pa.table(
                 {
@@ -800,12 +800,12 @@ def lpa_sweep_joined(
     nbr = _filter(
         jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
     )
-    kj = nbr.join(
-        _tight(_rename(labels, ["vid", "nlab"]), P),
-        join_type="inner",
-        num_partitions=P,
+    kj = _join(
+        nbr,
+        _rename(labels, ["vid", "nlab"]),
         on=("dst",),
         right_on=("vid",),
+        P=P,
     )
     if hub_salts:
         k = _salted_k_sum(
@@ -819,7 +819,7 @@ def lpa_sweep_joined(
         return labels, 0
     wmax = _rename(k.groupby("src").max("kw"), ["src", "wmax"])
     best = (
-        k.join(_tight(wmax, P), join_type="inner", num_partitions=P, on=("src",))
+        _join(k, wmax, on=("src",), P=P)
         .map_batches(
             lambda b: b.filter(pc.equal(b.column("kw"), b.column("wmax"))),
             batch_format="pyarrow",
@@ -830,11 +830,11 @@ def lpa_sweep_joined(
     best = _rename(best, ["src", "best"])
     cur_w = _seeded(
         _rename(
-            k.join(
-                _tight(_rename(labels, ["src", "cur"]), P),
-                join_type="inner",
-                num_partitions=P,
+            _join(
+                k,
+                _rename(labels, ["src", "cur"]),
                 on=("src",),
+                P=P,
             )
             .map_batches(
                 lambda b: b.filter(pc.equal(b.column("nlab"), b.column("cur"))),
@@ -846,11 +846,14 @@ def lpa_sweep_joined(
         src=np.int64(-1),
         curw=0.0,
     )
-    dec = (
-        best.join(_tight(wmax, P), join_type="inner", num_partitions=P, on=("src",))
-        .join(_tight(_rename(labels, ["src", "cur"]), P), join_type="inner", num_partitions=P, on=("src",))
-        .join(_tight(cur_w, P), join_type="left_outer", num_partitions=P, on=("src",))
-    )
+    # round-2 postmortem: this decision chain used RAW lazy .join calls —
+    # three concurrent JoinOperators' aggregator actors (x num_partitions)
+    # oversubscribed the cluster and deadlocked at num_cpus=32 (the
+    # driver's shape; the pinned num_cpus=4 test cluster never hit it).
+    # _join materializes each operand, so exactly one join is in flight.
+    d1 = _join(best, wmax, on=("src",), P=P)
+    d2 = _join(d1, _rename(labels, ["src", "cur"]), on=("src",), P=P)
+    dec = _join(d2, cur_w, on=("src",), how="left_outer", P=P)
 
     def decide(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -868,7 +871,7 @@ def lpa_sweep_joined(
     if changed == 0:
         return labels, 0
     new_labels = (
-        labels.join(_tight(moved, P), join_type="left_outer", num_partitions=P, on=("vid",))
+        _join(labels, moved, on=("vid",), how="left_outer", P=P)
         .map_batches(
             lambda b: pa.table(
                 {

@@ -212,10 +212,15 @@ def triangle_counts(
     else:
         wedges = _wedge_tables(graph, deg_ref, emit_u=True)
         edges = _oriented_key_ds(graph, deg_ref)
+        # fan-out bounded by the cluster (join_partitions), NOT the graph's
+        # partition count — num_partitions above the CPU budget deadlocks
+        # the join aggregator actors on small clusters
+        from parallel_louvain_method_ray.graph.build import join_partitions
+
         joined = wedges.join(
             edges,
             join_type="inner",
-            num_partitions=max(4, graph.config.num_partitions),
+            num_partitions=join_partitions(None),
             on=("key",),
         )
         nn = np.int64(n)

@@ -165,12 +165,45 @@ def near_dup_pairs_minhash(
         .select_columns(["doc_a", "doc_b"])
         .materialize()
     )
-    from parallel_louvain_method_ray.dedup.simhash import _split_dropped_sentinels
+    # The candidate-PAIR table stays a DATASET end-to-end (pair counts are
+    # O(dup-rate^2) per bucket and unbounded globally — collecting them to
+    # the driver was the round-2 scale-killer). Capped-bucket sentinel rows
+    # (doc_a < 0) are counted with a tiny aggregate, logged once, and
+    # stripped inside map_batches.
+    from ray.data.aggregate import Sum
 
-    cand_t = pa.concat_tables(
-        [pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")]
-    )
-    cand_t = _split_dropped_sentinels(cand_t, "minhash")
+    sent_counts = cand.map_batches(
+        lambda b: pa.table(
+            {
+                "n_buckets": pa.array(
+                    [int((b.column("doc_a").to_numpy(zero_copy_only=False) < 0).sum())],
+                    pa.int64(),
+                ),
+                "n_docs": pa.array(
+                    [
+                        int(
+                            -b.column("doc_a")
+                            .to_numpy(zero_copy_only=False)
+                            .clip(max=0)
+                            .sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n_buckets"), Sum("n_docs"))
+    n_capped = int(sent_counts.get("sum(n_buckets)") or 0)
+    if n_capped:
+        import logging
+
+        logging.getLogger("parallel_louvain_method_ray").warning(
+            "minhash: %d bucket(s) over the size cap were skipped "
+            "(total %d member docs) — raise max_bucket_size for full recall",
+            n_capped,
+            int(sent_counts.get("sum(n_docs)") or 0),
+        )
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -178,9 +211,14 @@ def near_dup_pairs_minhash(
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    if cand_t.num_rows == 0:
+    cand_ds = cand.map_batches(
+        lambda b: b.filter(
+            pa.compute.greater_equal(b.column("doc_a"), pa.scalar(0))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if cand_ds.count() == 0:
         return empty
-    cand_ds = ray.data.from_arrow(cand_t)
 
     # distinct candidate ids as a Dataset -> semi-join filters docs
     def both_sides(batch: pa.Table) -> pa.Table:
@@ -204,7 +242,7 @@ def near_dup_pairs_minhash(
     relevant = docs.join(
         members, join_type="left_semi", num_partitions=join_partitions,
         on=("doc_id",),
-    )
+    ).materialize()
 
     def shingles_of(batch: pa.Table) -> pa.Table:
         # shingle sets ride the hash joins as BINARY blobs (uint64 bytes) —
@@ -232,7 +270,7 @@ def near_dup_pairs_minhash(
     j1 = cand_ds.join(
         sh_a, join_type="inner", num_partitions=join_partitions,
         on=("doc_a",), right_on=("doc_id",),
-    ).select_columns(["doc_a", "doc_b", "sh_a"])
+    ).select_columns(["doc_a", "doc_b", "sh_a"]).materialize()
     j2 = j1.join(
         sh_b, join_type="inner", num_partitions=join_partitions,
         on=("doc_b",), right_on=("doc_id",),

@@ -186,13 +186,17 @@ def assign_dense_ids(
 
 
 def join_partitions(requested: int | None = None, cap: int = 64) -> int:
-    """Join fan-out bounded by the cluster CPU count — a join whose
+    """Join fan-out bounded by HALF the cluster CPU count — a join whose
     aggregator-actor demand exceeds the cluster deadlocks small clusters
-    (observed at num_partitions=16 on 4 CPUs)."""
+    (observed at num_partitions=16 on 4 CPUs), and two joins in flight at
+    num_partitions == cpus leave zero headroom and deadlock each other
+    (observed as the round-2 lpa_one_sweep_joined hang at 32 CPUs: three
+    chained lazy joins x 32 aggregator actors, 234 spawned workers all
+    blocked in ray.get)."""
     if requested is not None:
         return requested
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, min(cap, cpus))
+    return max(2, min(cap, cpus // 2))
 
 
 def renumber_with_join(
@@ -209,10 +213,12 @@ def renumber_with_join(
     v_dst = vertices.map_batches(
         lambda b: b.rename_columns(["raw_id", "dst_vid"]), batch_format="pyarrow"
     )
+    # materialize between the two joins: two lazy JoinOperators in flight
+    # double the aggregator-actor demand and can deadlock a small cluster
     j = edges.join(
         v_src, join_type="inner", num_partitions=num_partitions,
         on=("src",), right_on=("raw_id",),
-    ).join(
+    ).materialize().join(
         v_dst, join_type="inner", num_partitions=num_partitions,
         on=("dst",), right_on=("raw_id",),
     )

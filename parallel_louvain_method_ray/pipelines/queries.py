@@ -152,8 +152,28 @@ def q_modularity_singleton(sf_dir: str):
 _louvain_cache: dict[str, object] = {}
 
 # the converged-assignment bridge table the louvain_quality oracle reads
-# (DuckDB recomputes Q from it + the base tables — see ensure_louvain_assign)
-LOUVAIN_ASSIGN_PARQUET = "/tmp/plm_louvain_assign.parquet"
+# (DuckDB recomputes Q from it + the base tables — see ensure_louvain_assign).
+# The path is KEYED BY SF DIR so a run at one sf can never clobber (or read)
+# another sf's assignment; the static ORACLE_SQL string points at the
+# driver's contract sf (0.01), and `oracle_sql_for_sf` rewrites it for any
+# other dir (the local test harness runs sf0.001).
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def louvain_bridge_path(sf_dir: str) -> str:
+    import os
+
+    slug = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/plm_louvain_assign_{slug}.parquet"
+
+
+def oracle_sql_for_sf(sf_dir: str) -> dict[str, str]:
+    """ORACLE_SQL with the louvain bridge path re-keyed for `sf_dir`."""
+    out = dict(ORACLE_SQL)
+    out["louvain_quality"] = out["louvain_quality"].replace(
+        louvain_bridge_path(DRIVER_SF_DIR), louvain_bridge_path(sf_dir)
+    )
+    return out
 
 
 def _louvain_for(sf_dir: str):
@@ -169,20 +189,14 @@ def _louvain_for(sf_dir: str):
     return _louvain_cache[sf_dir]
 
 
-_bridge_written = False
-
-
-def louvain_bridge_written() -> bool:
-    return _bridge_written
-
-
 def ensure_louvain_assign(sf_dir: str) -> None:
-    """Write the engine's converged (vid, comm) assignment to the fixed
+    """Write the engine's converged (vid, comm) assignment to the sf-keyed
     bridge path (atomic tmp+rename). The `louvain_quality` SQL oracle
     recomputes modularity FROM THIS TABLE + the base tables, closing the
     loop on the otherwise non-SQL-expressible converged Louvain: the
     engine's reported Q must equal the SQL-recomputed Q of its own
-    partition."""
+    partition. Only the `louvain_quality` queries() callable triggers this
+    — `oracle_sql()` is side-effect-free and returns instantly."""
     import os
 
     import pyarrow.parquet as pq
@@ -190,11 +204,10 @@ def ensure_louvain_assign(sf_dir: str) -> None:
     _, raw = _graph_for(sf_dir)
     res = _louvain_for(sf_dir)
     t = pa.table({"vid": raw, "comm": res.assignments})
-    tmp = LOUVAIN_ASSIGN_PARQUET + ".tmp"
+    path = louvain_bridge_path(sf_dir)
+    tmp = path + ".tmp"
     pq.write_table(t, tmp)
-    os.replace(tmp, LOUVAIN_ASSIGN_PARQUET)
-    global _bridge_written
-    _bridge_written = True
+    os.replace(tmp, path)
 
 
 def q_louvain(sf_dir: str):
@@ -524,7 +537,7 @@ ORACLE_SQL: dict[str, str] = {
     "louvain_quality": f"""
         WITH {SYM_CTES},
         assign AS (
-            SELECT vid, comm FROM read_parquet('{LOUVAIN_ASSIGN_PARQUET}')
+            SELECT vid, comm FROM read_parquet('{louvain_bridge_path(DRIVER_SF_DIR)}')
         ),
         deg AS (SELECT src AS v, sum(weight) AS d FROM sym GROUP BY src),
         m2 AS (SELECT sum(weight) AS m2 FROM sym),

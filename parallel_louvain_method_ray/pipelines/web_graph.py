@@ -118,10 +118,12 @@ def _renumber_urls_join(
     v_dst = vertices.map_batches(
         lambda b: b.rename_columns(["url", "dst_vid"]), batch_format="pyarrow"
     )
+    # materialize between the two joins (one JoinOperator in flight at a
+    # time — aggregator fan-out discipline, see graph.build.join_partitions)
     j = edges_str.join(
         v_src, join_type="inner", num_partitions=num_partitions,
         on=("src_url",), right_on=("url",),
-    ).join(
+    ).materialize().join(
         v_dst, join_type="inner", num_partitions=num_partitions,
         on=("dst_url",), right_on=("url",),
     )
@@ -172,16 +174,44 @@ def web_edge_table(
     return edges, vertices, n
 
 
+def _scores_dataset(
+    comm: np.ndarray, rank: np.ndarray, block_rows: int = 4_000_000
+) -> ray.data.Dataset:
+    """(vid, comm, rank) as a multi-block Dataset. The broadcast engines
+    hand back dense O(V) int/float arrays (their contract below
+    `max_broadcast_vertices`); slicing them into blocks here is zero-copy
+    and lets the output path stay a Dataset join."""
+    n = len(comm)
+    tables = [
+        pa.table(
+            {
+                "vid": pa.array(np.arange(s, min(s + block_rows, n), dtype=np.int64)),
+                "comm": pa.array(comm[s : s + block_rows]),
+                "rank": pa.array(rank[s : s + block_rows]),
+            }
+        )
+        for s in range(0, max(n, 1), block_rows)
+    ]
+    return ray.data.from_arrow(tables)
+
+
 def flagship(
     sf_dir: str,
     config: EngineConfig | None = None,
     n_domains: int = 50,
     pagerank_iters: int = 20,
-) -> "pa.Table":
-    """End-to-end: returns a per-vertex table
+    output_path: str | None = None,
+) -> ray.data.Dataset:
+    """End-to-end: returns a per-vertex Dataset
     (url, vid, comm, rank) — community from multi-level Louvain
     (m_mode="weight": anchor-count weighted edges), PageRank over the
-    symmetrized link graph."""
+    symmetrized link graph.
+
+    The output is assembled as a DATASET JOIN (vertices ⋈ scores on vid)
+    — the driver never concatenates the O(V) url table (at 10^12 urls
+    that table alone is terabytes; the r2 driver-side assembly was the
+    headline scale-killer). With `output_path` the result is written as
+    partitioned parquet and the (lazy) dataset is still returned."""
     cfg = config or DEFAULT_CONFIG
     pages = pages_from_documents(sf_dir, n_domains=n_domains)
     edges, vertices, n = web_edge_table(pages)
@@ -189,15 +219,13 @@ def flagship(
     res = louvain(graph, cfg, m_mode="weight")
     ranks, _ = pagerank(graph, max_iter=pagerank_iters)
 
-    vid_url = pa.concat_tables(
-        [pa.table(b) for b in vertices.iter_batches(batch_format="pyarrow")]
+    from parallel_louvain_method_ray.algos.joined import _join
+
+    scores = _scores_dataset(res.assignments, ranks)
+    out = _join(vertices, scores, on=("vid",)).select_columns(
+        ["url", "vid", "comm", "rank"]
     )
-    order = vid_url.column("vid").to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "url": vid_url.column("url"),
-            "vid": vid_url.column("vid"),
-            "comm": res.assignments[order],
-            "rank": ranks[order],
-        }
-    )
+    if output_path is not None:
+        out = out.materialize()
+        out.write_parquet(output_path)
+    return out

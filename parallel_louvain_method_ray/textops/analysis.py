@@ -97,12 +97,17 @@ def top_tokens(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
             lambda b: b.rename_columns(["token", "n"]), batch_format="pyarrow"
         )
     )
-    # deterministic top-k: count desc, then token asc
-    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
-    toks = np.array(t.column("token").to_pylist(), dtype=object)
-    ns = t.column("n").to_numpy(zero_copy_only=False)
-    order = np.lexsort((toks, -ns))[:k]
-    return pa.table({"token": pa.array(toks[order], pa.string()), "n": ns[order]})
+    # deterministic top-k: count desc, then token asc — distributed
+    # sort + limit (the driver holds only k rows, never the full vocab)
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    t = pa.concat_tables(
+        [pa.table(b) for b in top.iter_batches(batch_format="pyarrow")]
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    return t.select(["token", "n"])
 
 
 # language ID: tiny stopword-profile heuristic (deterministic, dependency-free)

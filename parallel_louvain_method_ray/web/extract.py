@@ -133,10 +133,15 @@ def links_to_edges(extracted: ray.data.Dataset) -> ray.data.Dataset:
     distinct (src, dst) anchor pair, weight = number of anchors."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        col = batch.column("links")
-        counts = [len(v) for v in col.to_pylist()]
         import numpy as np
+        import pyarrow.compute as pc
 
+        col = batch.column("links")
+        # zero-copy per-row lengths (null rows count 0) — materializing the
+        # whole list column to Python here was the hot-stage bottleneck
+        counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False
+        )
         src = pa.array(
             np.repeat(batch.column("url").to_numpy(zero_copy_only=False), counts),
             pa.string(),

@@ -57,8 +57,12 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(name, sf_dir, con):
+    from parallel_louvain_method_ray.pipelines.queries import oracle_sql_for_sf
+
     ray_df = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
-    sql_df = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    # the static oracle_sql() keys the louvain bridge path to the driver's
+    # contract sf (0.01); re-key it for this harness's sf dir
+    sql_df = _canon(con.sql(oracle_sql_for_sf(sf_dir)[name]).df())
     assert list(ray_df.columns) == list(sql_df.columns), (
         f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
     )
