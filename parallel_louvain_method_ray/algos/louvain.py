@@ -432,7 +432,8 @@ def _driver_level(
     for sweep in range(start_sweep, cfg.max_sweeps):
         if use_chunked:
             moves = chunked_local_move_sweep(
-                vids, indptr, dst, w, assign, tot, deg, m2, csize=csize
+                vids, indptr, dst, w, assign, tot, deg, m2,
+                csize=csize, chunk=cfg.kernel_chunk,
             )
         else:
             moves = local_move_sweep(
@@ -598,9 +599,13 @@ def louvain(
         if checkpointer is not None:
             checkpointer.begin_level(level, graph, membership)
             on_sweep = lambda s, a, mv: checkpointer.on_sweep(level, s, a, mv)
-        local = (
-            graph.n_entries <= cfg.driver_local_entries
-            or graph.n <= cfg.driver_local_vertices
+        # The VERTEX gate applies only to COARSE levels (its motivation:
+        # distributing a 6k-vertex contracted graph is pure chunk-Jacobi
+        # oscillation for no gain). Level 0 is gated by ENTRY count alone —
+        # otherwise a large-but-low-vertex input graph would silently run
+        # the whole algorithm serial on the driver.
+        local = graph.n_entries <= cfg.driver_local_entries or (
+            level > 0 and graph.n <= cfg.driver_local_vertices
         )
         any_distributed = any_distributed or not local
         if not local and use_pool:

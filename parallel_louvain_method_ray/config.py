@@ -88,10 +88,12 @@ class EngineConfig:
     # converge better anyway. Set to 0 to force the distributed path.
     driver_local_entries: int = 200_000
 
-    # Likewise by VERTEX count: a coarse level with few vertices is
-    # driver-local even when its (weighted) entry list is large —
-    # distributing a 6k-vertex graph over 32 partitions is pure
-    # chunk-Jacobi oscillation for no parallel gain.
+    # Likewise by VERTEX count, COARSE LEVELS ONLY (level > 0): a
+    # contracted level with few vertices is driver-local even when its
+    # (weighted) entry list is large — distributing a 6k-vertex graph over
+    # 32 partitions is pure chunk-Jacobi oscillation for no parallel gain.
+    # Level 0 is gated by driver_local_entries alone, so a large input
+    # graph never silently runs serial. Set to 0 to disable.
     driver_local_vertices: int = 100_000
 
     # Checkpoint directory (None = no checkpointing).

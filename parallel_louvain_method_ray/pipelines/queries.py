@@ -168,10 +168,13 @@ def louvain_bridge_path(sf_dir: str) -> str:
 
 
 def oracle_sql_for_sf(sf_dir: str) -> dict[str, str]:
-    """ORACLE_SQL with the louvain bridge path re-keyed for `sf_dir`."""
+    """ORACLE_SQL with the /tmp bridge paths re-keyed for `sf_dir`."""
     out = dict(ORACLE_SQL)
     out["louvain_quality"] = out["louvain_quality"].replace(
         louvain_bridge_path(DRIVER_SF_DIR), louvain_bridge_path(sf_dir)
+    )
+    out["louvain_assign_parity"] = out["louvain_assign_parity"].replace(
+        seq_parity_bridge_path(DRIVER_SF_DIR), seq_parity_bridge_path(sf_dir)
     )
     return out
 
@@ -235,6 +238,65 @@ def q_louvain_quality(sf_dir: str):
         q=[round(res.modularity, 6)],
         n_communities=[np.int64(np.unique(res.assignments).shape[0])],
     )
+
+
+def seq_parity_bridge_path(sf_dir: str) -> str:
+    import os
+
+    slug = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/plm_louvain_seq_{slug}.parquet"
+
+
+def q_louvain_assign_parity(sf_dir: str):
+    """CONVERGED per-vertex Louvain assignment, engine-vs-transcription
+    exact parity: the engine at P=1 (sequential Gauss-Seidel semantics,
+    canonical tie-break) on the UNIT-WEIGHT supplier cograph must emit the
+    exact per-vertex partition of the independently transcribed sequential
+    reference (`algos/louvain_seq.py`, a from-paper reimplementation of
+    `/root/reference/src/community.cpp` semantics). The transcription's
+    assignment is written to an sf-keyed bridge parquet which the SQL
+    oracle reads, so the driver's hash compare IS the parity check —
+    closing the `louvain_communities` rows-only gap (VERDICT r2 #7).
+
+    The cograph is COMPLETE (every supplier pair co-occurs), so the raw
+    graph has no community structure; keeping only STRONG ties (weight
+    above the 75th percentile — deterministic given the data) leaves a
+    sparse backbone with real multi-level structure (7 communities at
+    sf0.01). Unit weights on the backbone make the reference's count-m
+    quirk coincide with weight-m."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parallel_louvain_method_ray.algos.louvain_seq import louvain_reference
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+
+    edges = supplier_cograph_edges(sf_dir)
+    t = pa.concat_tables(
+        [pa.table(b) for b in edges.iter_batches(batch_format="pyarrow")]
+    )
+    wts = t.column("weight").to_numpy(zero_copy_only=False)
+    keep = wts > np.percentile(wts, 75)
+    raw_src = t.column("src").to_numpy(zero_copy_only=False)[keep]
+    raw_dst = t.column("dst").to_numpy(zero_copy_only=False)[keep]
+    uniq = np.unique(np.concatenate([raw_src, raw_dst]))
+    src = np.searchsorted(uniq, raw_src).astype(np.int64)
+    dst = np.searchsorted(uniq, raw_dst).astype(np.int64)
+    w = np.ones(len(src), dtype=np.float64)
+
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=1)
+    )
+    res = louvain(g, EngineConfig(num_partitions=1), tie_break="canonical")
+
+    memb, _, _ = louvain_reference(src, dst, w, tie_break="canonical")
+    ref = canonicalize_labels(memb)
+    bridge = pa.table({"vid": uniq[np.arange(g.n)], "comm": ref})
+    path = seq_parity_bridge_path(sf_dir)
+    pq.write_table(bridge, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+    return _t(vid=uniq[np.arange(g.n)], comm=res.assignments)
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +623,13 @@ ORACLE_SQL: dict[str, str] = {
                ) AS q,
                (SELECT count(DISTINCT comm) FROM assign) AS n_communities
     """,
+    # the bridge holds the TRANSCRIBED sequential reference's converged
+    # assignment (written by the q_louvain_assign_parity callable); the
+    # engine's P=1 assignment must hash-match it exactly
+    "louvain_assign_parity": f"""
+        SELECT vid, comm
+        FROM read_parquet('{seq_parity_bridge_path(DRIVER_SF_DIR)}')
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
@@ -612,6 +681,7 @@ QUERIES = {
     "louvain_communities": q_louvain,  # rows-only (iterative, non-SQL)
     "louvain_modularity": q_louvain_modularity,  # rows-only (n_levels)
     "louvain_quality": q_louvain_quality,  # hash-checked via assign bridge
+    "louvain_assign_parity": q_louvain_assign_parity,  # engine==seq oracle
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_by_type": q_events_by_type,
