@@ -265,12 +265,16 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
     m2 = graph.total_weight
     sweep_secs = []
     n_sweeps = 12
+    pending = None
     for _ in range(n_sweeps):
         t0 = time.time()
-        cv, cc, moves, _nbrs = pool.sweep(assign, None, None, m2, "canonical")
+        cv, cc, moves, _nbrs = pool.sweep(
+            assign, None, None, m2, "canonical", delta=pending
+        )
         sweep_secs.append(time.time() - t0)
         if moves:
             assign[cv] = cc
+        pending = (cv, cc) if moves else None
     out_w = graph.degrees()
     dangling = out_w <= 0.0
     inv_out = np.zeros(graph.n)

@@ -21,8 +21,10 @@ Dataset pipeline is tested BIT-FOR-BIT against it on P>1 fixtures
 cannot perturb gains; on arbitrary float weights parity holds to the
 last ulp of the sum order).
 
-Cost shape per Louvain sweep: ~6 shuffles (stats groupby, k groupby,
-3 joins, argmax max+min groupbys). That is the price of dropping the
+Cost shape per Louvain sweep: ~5 shuffles (stats groupby, k groupby,
+argmax max+min groupbys, the fused decision join — the candidate rows
+carry the stats/vertex columns through the argmax, so the decision no
+longer re-joins stats and vert). That is the price of dropping the
 O(V) broadcast; the broadcast path remains the default below
 `EngineConfig.max_broadcast_vertices`.
 """
@@ -94,7 +96,25 @@ def _tight(ds: ray.data.Dataset, P: int) -> ray.data.Dataset:
     if getattr(ds, "_plm_tight", False):
         return ds
     ds = ds.materialize()
-    rows = ds.count()
+    # block-level row counts from the materialized bundles' METADATA (no
+    # block fetch): when every block is already nonempty the repartition
+    # pass (a second full materialization) is skipped entirely
+    sizes: list[int] | None = []
+    try:
+        for rb in ds.iter_internal_ref_bundles():
+            for _, meta in rb.blocks:
+                if meta.num_rows is None:
+                    raise ValueError("no row metadata")
+                sizes.append(meta.num_rows)
+    except Exception:
+        sizes = None
+    if sizes is not None:
+        rows = sum(sizes)
+        if sizes and all(s > 0 for s in sizes):
+            ds._plm_tight = True
+            return ds
+    else:
+        rows = ds.count()
     nb = max(1, min(P, rows))
     out = ds.repartition(nb).materialize()
     out._plm_tight = True
@@ -363,21 +383,34 @@ def louvain_sweep_joined(
         return assign, 0
 
     gmax = _tight(_rename(cand.groupby("src").max("gain"), ["src", "gmax"]), P)
-    best = (
-        _join(cand, gmax, on=("src",), P=P)
-        .map_batches(
+    # FUSED argmax: the candidate rows already carry the best community's
+    # stats (tot_c/csize_c) and the vertex's own-side info (own/dv/
+    # tot_own/csize_own) from the `full` join above, so instead of
+    # re-joining stats and vert onto a (src, best_comm) skeleton (the r2
+    # shape: 4 joins after the argmax), select the WINNING ROW itself —
+    # filter gain == gmax, take the min dst_comm per src, and join that
+    # single (src, dst_comm) key back onto the filtered rows. 2 joins
+    # fewer per sweep, each with its _tight materializations.
+    filt = _tight(
+        _join(cand, gmax, on=("src",), P=P).map_batches(
             lambda b: b.filter(pc.equal(b.column("gain"), b.column("gmax"))),
             batch_format="pyarrow",
-        )
-        .groupby("src")
-        .aggregate(Min("dst_comm"))
+        ),
+        P,
     )
-    best = _rename(best, ["src", "best_comm"])
-
-    # decision row per src with a candidate
-    d1 = _join(best, gmax, on=("src",), P=P)
-    d2 = _join(d1, _rename(stats, ["best_comm", "tot_b", "csize_b"]), on=("best_comm",), P=P)
-    d3 = _join(d2, vert, on=("src",), right_on=("vid",), P=P)
+    bm = _rename(
+        filt.groupby("src").aggregate(Min("dst_comm")), ["src", "best_comm"]
+    )
+    d3 = _rename(
+        _join(
+            filt, bm, on=("src", "dst_comm"), right_on=("src", "best_comm"), P=P
+        ).select_columns(
+            ["src", "dst_comm", "gmax", "tot_c", "csize_c", "own", "dv",
+             "tot_own", "csize_own"]
+        ),
+        ["src", "best_comm", "gmax", "tot_b", "csize_b", "own", "dv",
+         "tot_own", "csize_own"],
+    )
     dec = _join(d3, k_own, on=("src",), how="left_outer", P=P)
 
     def decide(batch: pa.Table) -> pa.Table:

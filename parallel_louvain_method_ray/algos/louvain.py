@@ -285,6 +285,8 @@ def louvain_level(
     stall = 0
     prev_moves = np.iinfo(np.int64).max
     active = None  # None = full sweep (first sweep / non-pool paths)
+    pending_delta = None  # last sweep's moves -> next round's broadcast
+    sweeps_since_full = 0
     for sweep in range(start_sweep, cfg.max_sweeps):
         if pool is not None:
             # workers derive tot/csize from the assign snapshot themselves;
@@ -296,10 +298,18 @@ def louvain_level(
             # global tot drift — measured ~0.04 modularity cost on the
             # planted web graph, so quality-first runs keep full sweeps.
             eff_active = active if cfg.active_set_sweeps else None
+            # delta broadcast: after sweep 1 the moves ARE the delta —
+            # O(moves) per round instead of an O(V) assignment put. Every
+            # 16th round re-sends the full array to pin the incremental
+            # float drift that tot/csize scatter-updates can accumulate.
+            use_delta = pending_delta is not None and sweeps_since_full < 16
             cv, cc, moves, nbrs = pool.sweep(
                 assign, None, None, _m2(graph, m_mode), tie_break,
                 active=eff_active, need_active=cfg.active_set_sweeps,
+                delta=pending_delta if use_delta else None,
             )
+            sweeps_since_full = sweeps_since_full + 1 if use_delta else 1
+            pending_delta = (cv, cc) if moves else None
             if tie_break == "canonical" and cfg.active_set_sweeps:
                 active = np.zeros(n, dtype=bool)
                 active[nbrs] = True

@@ -36,6 +36,14 @@ def _sum_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a + b
 
 
+@ray.remote(num_cpus=0)
+def _sum_slices(*parts: np.ndarray) -> np.ndarray:
+    acc = parts[0].copy()
+    for p in parts[1:]:
+        acc += p
+    return acc
+
+
 @ray.remote(num_cpus=0, scheduling_strategy="SPREAD")
 class ShardWorker:
     """num_cpus=0: the pool is BSP-synchronous (never more than one busy
@@ -54,6 +62,10 @@ class ShardWorker:
         shard-row indices this worker owns (LPT-balanced by the driver so a
         hub-heavy sub-shard doesn't straggle the whole BSP round); blocks
         are read zero-copy from plasma, only owned rows are unpacked."""
+        # persistent per-level Louvain snapshot (delta-broadcast rounds)
+        self._assign = None
+        self._tot = None
+        self._csize = None
         keep = set(keep_rows)
         self.shards = []
         gidx = 0
@@ -88,6 +100,7 @@ class ShardWorker:
     def louvain_sweep(
         self, assign_in, deg, m2: float, tie_break: str, active_in=None,
         chunk: int = 256, need_active: bool = False,
+        delta_v=None, delta_c=None,
     ):
         # ObjectRef args are auto-resolved by Ray before the method runs.
         # Every shard must see the PRE-SWEEP global snapshot (partition
@@ -97,6 +110,13 @@ class ShardWorker:
         # entries it touched from pristine copies (exact — no float
         # round-trip drift). tot/csize are derived from the assign snapshot
         # (identical to the driver's bincount), halving broadcast volume.
+        #
+        # DELTA rounds (assign_in=None, delta_v/delta_c set): the moves ARE
+        # the broadcast. The worker keeps last round's snapshot and applies
+        # the O(moves) delta in place — per-round cost drops from
+        # O(V) deserialize + 2 bincounts to O(moves) + 2 memcpys. The
+        # driver re-sends the full assignment periodically to pin any
+        # incremental float drift in tot (see louvain_level).
         out_v, out_c, out_nbr = [], [], []
         if not self.shards:
             return (
@@ -104,21 +124,36 @@ class ShardWorker:
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
             )
-        n = assign_in.shape[0]
+        n = deg.shape[0]
         canonical = tie_break == "canonical"
         # int32 working copy (comm ids < n < 2^31): halves the random-
         # gather traffic of comm[nbr] in the chunked kernel
         small = n < 2**31 - 1
-        assign = np.array(assign_in, dtype=np.int32 if small else np.int64)
-        tot = np.bincount(assign, weights=deg, minlength=n)
-        tot0 = tot.copy()
-        csize = (
-            np.bincount(assign, minlength=n).astype(
-                np.int32 if small else np.int64
+        idt = np.int32 if small else np.int64
+        if assign_in is None:
+            # delta round (canonical mode only — the pool guarantees it)
+            assign = self._assign
+            tot = self._tot
+            csize = self._csize
+            if delta_v is not None and delta_v.shape[0]:
+                old = assign[delta_v].astype(np.int64)
+                dw = deg[delta_v]
+                np.subtract.at(tot, old, dw)
+                np.add.at(tot, delta_c, dw)
+                np.subtract.at(csize, old, 1)
+                np.add.at(csize, delta_c, 1)
+                assign[delta_v] = delta_c.astype(idt)
+        else:
+            assign = np.array(assign_in, dtype=idt)
+            tot = np.bincount(assign, weights=deg, minlength=n)
+            csize = (
+                np.bincount(assign, minlength=n).astype(idt)
+                if canonical
+                else None
             )
-            if canonical
-            else None
-        )
+            if canonical:
+                self._assign, self._tot, self._csize = assign, tot, csize
+        tot0 = tot.copy()
         csize0 = csize.copy() if canonical else None
         for shard in self.shards:
             if not canonical:
@@ -209,6 +244,17 @@ class ShardWorker:
         # driver — cheaper than pickling sparse (nz, values) pairs
         return acc
 
+    def pagerank_iter_sliced(self, s, n: int, bounds: np.ndarray):
+        """Same dense partial, returned PRE-SLICED into len(bounds)-1
+        vid ranges (num_returns fan-out) so the pool can reduce-scatter:
+        reducer j sums slice j across workers — critical path O(V),
+        independent of the worker count (the tree reduce's O(V log W)
+        was the anti-scaling term of PageRank at 32 CPUs)."""
+        acc = self.pagerank_iter(s, n)
+        return tuple(
+            acc[bounds[j]:bounds[j + 1]] for j in range(len(bounds) - 1)
+        )
+
     def cc_round(self, lab_in):
         out_v, out_l = [], []
         for shard in self.shards:
@@ -277,7 +323,11 @@ class ShardWorker:
 def _row_assignment(graph, num_workers: int | None):
     """LPT schedule: shard rows (sorted by n_entries desc) go to the
     least-loaded worker — the straggler defense for hub-heavy sub-shards."""
-    refs = graph.shards.get_internal_block_refs()
+    refs = [
+        br
+        for rb in graph.shards.iter_internal_ref_bundles()
+        for br in rb.block_refs
+    ]
     sizes = []
     for b in graph.shards.select_columns(["n_entries"]).iter_batches(
         batch_format="pyarrow"
@@ -312,6 +362,7 @@ class ShardPool:
         if not self.workers:
             self.workers = [ShardWorker.remote(refs, [0])]
         self.graph = graph
+        self._have_sweep_state = False
 
     def reload(self, graph) -> "ShardPool":
         refs, assignment = _row_assignment(graph, len(self.workers))
@@ -322,31 +373,53 @@ class ShardPool:
         ray.get(futs)
         # workers loaded with no rows simply return empty results
         self.graph = graph
+        self._have_sweep_state = False
         return self
 
     def sweep(
         self, assign, tot, csize, m2, tie_break, active=None,
-        need_active: bool = False,
+        need_active: bool = False, delta=None,
     ):
         """Returns (changed_vids, new_comms, moves, neighbors_of_moved);
-        neighbors are only computed when `need_active` (active-set mode)."""
-        if assign.shape[0] < 2**31 - 1 and assign.dtype != np.int32:
-            # halve the per-round broadcast (comm ids fit int32)
-            assign = assign.astype(np.int32)
-        assign_ref = ray.put(assign)
+        neighbors are only computed when `need_active` (active-set mode).
+
+        `delta=(moved_vids, new_comms)` promises that `assign` equals the
+        snapshot the workers hold from the previous round with exactly
+        those moves applied — the pool then broadcasts ONLY the delta
+        (canonical mode; falls back to the full array on the first round
+        or after a reload)."""
+        canonical = tie_break == "canonical"
+        use_delta = (
+            delta is not None and canonical and self._have_sweep_state
+        )
         active_ref = ray.put(active) if active is not None else None
         chunk = getattr(
             getattr(self.graph, "config", None), "kernel_chunk", 256
         ) or 256
-        outs = ray.get(
-            [
+        if use_delta:
+            dv = np.asarray(delta[0], dtype=np.int64)
+            dc = np.asarray(delta[1], dtype=np.int64)
+            futs = [
+                w.louvain_sweep.remote(
+                    None, self.graph.degrees_ref, m2, tie_break,
+                    active_ref, chunk, need_active, dv, dc
+                )
+                for w in self.workers
+            ]
+        else:
+            if assign.shape[0] < 2**31 - 1 and assign.dtype != np.int32:
+                # halve the per-round broadcast (comm ids fit int32)
+                assign = assign.astype(np.int32)
+            assign_ref = ray.put(assign)
+            futs = [
                 w.louvain_sweep.remote(
                     assign_ref, self.graph.degrees_ref, m2, tie_break,
                     active_ref, chunk, need_active
                 )
                 for w in self.workers
             ]
-        )
+        outs = ray.get(futs)
+        self._have_sweep_state = canonical
         vids = np.concatenate([o[0] for o in outs]) if outs else np.empty(0, np.int64)
         comms = np.concatenate([o[1] for o in outs]) if outs else np.empty(0, np.int64)
         nbrs = (
@@ -363,19 +436,26 @@ class ShardPool:
     def pagerank_iter(self, scaled) -> np.ndarray:
         ref = ray.put(scaled)
         n = self.graph.n
-        refs = [w.pagerank_iter.remote(ref, n) for w in self.workers]
-        # tree-reduce the dense per-worker partials in remote tasks: with
-        # W workers a driver-side sum is W x 8n bytes of serial driver
-        # work per iteration (measured anti-scaling: more workers made
-        # PageRank SLOWER); the tree leaves the driver one array
-        while len(refs) > 1:
-            nxt = []
-            for i in range(0, len(refs) - 1, 2):
-                nxt.append(_sum_arrays.remote(refs[i], refs[i + 1]))
-            if len(refs) % 2:
-                nxt.append(refs[-1])
-            refs = nxt
-        return ray.get(refs[0])
+        W = len(self.workers)
+        if W == 1:
+            return ray.get(self.workers[0].pagerank_iter.remote(ref, n))
+        # REDUCE-SCATTER: each worker returns its dense partial pre-sliced
+        # into W vid ranges; reducer task j sums slice j across all
+        # workers. Critical path O(V) regardless of W — the previous tree
+        # reduce's O(V log W) critical path made PageRank the anti-scaling
+        # term at 32 CPUs (sweep speedup 2.8x vs pagerank 1.3x, mult=256).
+        bounds = np.linspace(0, n, W + 1).astype(np.int64)
+        slice_refs = [
+            w.pagerank_iter_sliced.options(num_returns=W).remote(
+                ref, n, bounds
+            )
+            for w in self.workers
+        ]
+        reduced = [
+            _sum_slices.remote(*[slice_refs[w][j] for w in range(W)])
+            for j in range(W)
+        ]
+        return np.concatenate(ray.get(reduced))
 
     def cc_round(self, labels):
         ref = ray.put(labels)
