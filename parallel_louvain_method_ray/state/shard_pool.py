@@ -28,6 +28,7 @@ from parallel_louvain_method_ray.algos._local_move import (
     chunked_local_move_sweep,
     local_move_sweep,
 )
+from parallel_louvain_method_ray.algos.lpa import _best_labels_for_shard
 from parallel_louvain_method_ray.graph.csr import unpack_shards
 
 
@@ -276,8 +277,10 @@ class ShardWorker:
         )
 
     def lpa_sweep(self, lab):
-        from parallel_louvain_method_ray.algos.lpa import _best_labels_for_shard
-
+        # NOTE: no in-method package imports here — this body runs on a
+        # worker whose interpreter may not be able to import the package
+        # (modules ship by value; a runtime `import` would raise
+        # ModuleNotFoundError when the driver cwd isn't the repo root).
         out_v, out_l = [], []
         for shard in self.shards:
             best, bw = _best_labels_for_shard(shard, lab)

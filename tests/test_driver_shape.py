@@ -70,3 +70,52 @@ def test_joined_lpa_and_louvain_at_full_cpu_fanout(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "DRIVER_SHAPE_OK" in proc.stdout
+
+_CWD_SCRIPT = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import ray
+
+ray.init(address="local", num_cpus=4, include_dashboard=False)
+from parallel_louvain_method_ray.algos.lpa import label_propagation
+from parallel_louvain_method_ray.config import EngineConfig
+from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+
+rng = np.random.default_rng(3)
+src = rng.integers(0, 40, 200).astype(np.int64)
+dst = rng.integers(0, 40, 200).astype(np.int64)
+keep = src != dst
+g = graph_from_entry_arrays(
+    src[keep], dst[keep], np.ones(int(keep.sum())),
+    EngineConfig(num_partitions=4),
+)
+labels, meta = label_propagation(g, max_sweeps=2, use_pool=True)
+assert labels.shape[0] == g.n
+print("FOREIGN_CWD_OK", meta.get("sweeps"))
+ray.shutdown()
+"""
+
+
+def test_shard_pool_from_foreign_cwd(tmp_path):
+    """Regression: ShardWorker.lpa_sweep did a runtime absolute import of
+    the package inside the actor method; when the driver's cwd is not the
+    repo root the worker interpreter can't import the package (modules
+    ship pickled BY VALUE, runtime imports don't), and the sweep died with
+    ModuleNotFoundError. Run the pool LPA with cwd pointing at an empty
+    directory to pin the fix (imports hoisted to module scope)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["RAY_ADDRESS"] = "local"
+    # make sure the package is NOT importable via cwd
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _CWD_SCRIPT % {"repo": repo}],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "FOREIGN_CWD_OK" in proc.stdout
