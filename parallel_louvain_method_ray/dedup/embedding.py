@@ -155,3 +155,70 @@ def embedding_near_dups(
         )
         t = t.filter(pa.array(~dropped))
     return t
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def embedding_near_dups_exact(
+    embeddings: ray.data.Dataset, threshold: float = 0.42
+) -> pa.Table:
+    """(vec_a, vec_b, cosine) for ALL pairs with round(cosine, 6) >=
+    threshold, vec_a < vec_b — the brute-force exactness BASELINE for
+    `embedding_near_dups` (which is LSH-blocked and approximate).
+
+    Shape: the normalized matrix is assembled once from a streaming pass
+    and broadcast via `ray.put`; data batches stream through a matmul
+    against it, each emitting only its own rows' pairs (i < j), so no
+    batch ever holds more than (B x n) similarities. O(n^2) compute by
+    definition of exact all-pairs — use the LSH variant at scale; this
+    one exists for recall measurement and oracle checking."""
+    ids_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    for b in embeddings.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows == 0:
+            continue
+        ids_parts.append(t.column("vec_id").to_numpy(zero_copy_only=False))
+        mat_parts.append(_normalize_rows(_batch_matrix(t)))
+    if not ids_parts:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    all_ids = np.concatenate(ids_parts).astype(np.int64)
+    ref = ray.put((all_ids, np.vstack(mat_parts)))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        aids, au = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        u = _normalize_rows(_batch_matrix(batch))
+        sims = np.round(u @ au.T, 6)  # (B, n)
+        keep = (sims >= threshold) & (ids[:, None] < aids[None, :])
+        bi, aj = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": ids[bi],
+                "vec_b": aids[aj],
+                "cosine": sims[bi, aj],
+            }
+        )
+
+    out = embeddings.map_batches(pairs, batch_format="pyarrow")
+    return pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )

@@ -693,7 +693,10 @@ QUERIES = {
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
-from parallel_louvain_method_ray.dedup.embedding import embedding_near_dups
+from parallel_louvain_method_ray.dedup.embedding import (
+    embedding_near_dups,
+    embedding_near_dups_exact,
+)
 from parallel_louvain_method_ray.dedup.exact import exact_dup_groups
 from parallel_louvain_method_ray.dedup.jaccard import shingle_jaccard_pairs
 from parallel_louvain_method_ray.dedup.minhash import (
@@ -715,6 +718,7 @@ from parallel_louvain_method_ray.sim.search import (
     queries_from_dataset,
 )
 from parallel_louvain_method_ray.textops.analysis import (
+    _LANG_PROFILES,
     fingerprints,
     lang_id,
     text_stats,
@@ -823,8 +827,10 @@ def _emb_ds(sf_dir: str):
     return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
 
-def q_embedding_near_dups(sf_dir: str):
-    emb = _emb_ds(sf_dir)
+def _augmented_embeddings(sf_dir: str):
+    """embeddings plus planted near-identical twins of vec_id < 10
+    (first coordinate nudged by 1e-3, re-encoded at the column's own
+    float32 — the SQL oracle mirrors the float32 round-trip)."""
 
     def aug(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -845,9 +851,18 @@ def q_embedding_near_dups(sf_dir: str):
             }
         )
 
-    return embedding_near_dups(
-        emb.map_batches(aug, batch_format="pyarrow"), threshold=0.999
-    )
+    return _emb_ds(sf_dir).map_batches(aug, batch_format="pyarrow")
+
+
+def q_embedding_near_dups(sf_dir: str):
+    return embedding_near_dups(_augmented_embeddings(sf_dir), threshold=0.999)
+
+
+def q_embedding_near_dups_exact(sf_dir: str):
+    """Brute-force all-pairs cosine baseline (exact; oracle-checked) —
+    the LSH-blocked `embedding_near_dups` is the scale path, this one
+    pins exactness and measures its recall."""
+    return embedding_near_dups_exact(_augmented_embeddings(sf_dir), threshold=0.42)
 
 
 def q_cosine_topk(sf_dir: str):
@@ -892,8 +907,111 @@ def q_frame_sample(sf_dir: str):
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+# the language-ID stopword profiles, rendered once as a SQL VALUES list so
+# the oracle and the engine share a single source of truth
+_LANG_VALUES_SQL = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in sorted(_LANG_PROFILES.items())
+    for w in sorted(words)
+)
+
+# documents plus the deterministic near-duplicates `_augmented_docs` plants
+# (doc_id < 20: last token swapped for 'dupmarker' when > 3 tokens, id
+# offset by 1e6; Python's .split()+join collapses whitespace, hence the
+# array_to_string round-trip in both CASE branches)
+_AUG_DOCS_SQL = r"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           CASE WHEN len(toks) > 3
+                THEN array_to_string(
+                        list_append(toks[1:len(toks) - 1], 'dupmarker'), ' ')
+                ELSE array_to_string(toks, ' ') END
+    FROM (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+          FROM documents WHERE doc_id < 20)
+"""
+
 ORACLE_SQL.update(
     {
+        "lang_id": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '\\S+'))) AS tok
+                FROM documents
+            ),
+            profiles(lang, word) AS (VALUES {_LANG_VALUES_SQL}),
+            scores AS (
+                SELECT toks.doc_id, profiles.lang, count(*) AS score
+                FROM toks JOIN profiles ON toks.tok = profiles.word
+                GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, lang ASC
+                       ) AS rn
+                FROM scores
+            )
+            SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+                USING (doc_id)
+        """,
+        "jaccard_pairs": f"""
+            WITH aug AS ({_AUG_DOCS_SQL}),
+            toksed AS (
+                SELECT doc_id,
+                       regexp_extract_all({_NORM_SQL}, '\\S+') AS toks
+                FROM aug
+            ),
+            shingled AS (
+                -- word 3-grams (whole text when < 3 tokens), DISTINCT per
+                -- doc: toks[i:i+2] is DuckDB's 1-based INCLUSIVE slice
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i:i + 2], ' ') AS shingle
+                FROM toksed,
+                     unnest(range(1, greatest(len(toks) - 2,
+                            CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END) + 1)
+                     ) AS r(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM shingled a
+                JOIN shingled b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.6
+        """,
+        "embedding_near_dups_exact": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                -- the planted twin: +1e-3 on coord 0, via the same
+                -- float32 round-trip the engine's augmentation performs
+                SELECT vec_id + 1000000,
+                       list_prepend(
+                           CAST(CAST(embedding[1] AS DOUBLE) + 0.001
+                                AS FLOAT),
+                           embedding[2:])
+                FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
+        """,
         "text_stats": """
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -960,6 +1078,7 @@ QUERIES.update(
         "near_dup_simhash": q_near_dup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "media_features": q_media_features,
