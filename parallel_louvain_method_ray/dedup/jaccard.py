@@ -19,6 +19,7 @@ import ray
 import ray.data
 
 from parallel_louvain_method_ray.dedup.minhash import _shingle_hashes
+from parallel_louvain_method_ray.textops.analysis import round6_sql
 
 
 def shingle_jaccard_pairs(
@@ -97,7 +98,7 @@ def shingle_jaccard_pairs(
         sb = vals_sorted[np.minimum(np.searchsorted(ids_sorted, np.abs(b)), hi)]
         jac = inter_n / np.maximum(sa + sb - inter_n, 1)
         jac[sentinel] = 1.0
-        t = pa.table({"doc_a": a, "doc_b": b, "jaccard": np.round(jac, 6)})
+        t = pa.table({"doc_a": a, "doc_b": b, "jaccard": round6_sql(jac)})
         return t.filter(pa.compute.greater_equal(t.column("jaccard"), threshold))
 
     out = inter.map_batches(finish, batch_format="pyarrow")

@@ -719,6 +719,9 @@ from parallel_louvain_method_ray.sim.search import (
 )
 from parallel_louvain_method_ray.textops.analysis import (
     _LANG_PROFILES,
+    BPE_PATTERN,
+    bpe_token_counts,
+    doc_quality,
     fingerprints,
     lang_id,
     text_stats,
@@ -865,6 +868,14 @@ def q_embedding_near_dups_exact(sf_dir: str):
     return embedding_near_dups_exact(_augmented_embeddings(sf_dir), threshold=0.42)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    return bpe_token_counts(_docs_ds(sf_dir))
+
+
+def q_doc_quality(sf_dir: str):
+    return doc_quality(_docs_ds(sf_dir))
+
+
 def q_cosine_topk(sf_dir: str):
     emb = _emb_ds(sf_dir)
     qids, qmat = queries_from_dataset(emb, [0, 1, 2, 3, 4])
@@ -906,6 +917,48 @@ def q_frame_sample(sf_dir: str):
 
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# --- splitmix64 in SQL (for the deterministic fake-media oracles) -------
+# The media synthesis derives all metadata from `web.pages._mix`
+# (splitmix64). 64-bit wraparound multiply is done HUGEINT-safely by hi/lo
+# split: a*c mod 2^64 = (((a>>32)*c mod 2^32) << 32 + (a & 0xffffffff)*c)
+# mod 2^64 — every intermediate fits in INT128.
+_MIX_C0 = 11400714819323198485  # 0x9E3779B97F4A7C15
+_MIX_C1 = 13787848793156543929  # 0xBF58476D1CE4E5B9
+_MIX_C2 = 10723151780598845931  # 0x94D049BB133111EB
+_MIX_MOD = 18446744073709551616  # 2^64
+
+
+def _mulmod_sql(col: str, c: int) -> str:
+    return (
+        f"CAST((((CAST({col} >> 32 AS HUGEINT) * {c}) % 4294967296) "
+        f"* 4294967296 + CAST({col} & 4294967295 AS HUGEINT) * {c}) "
+        f"% {_MIX_MOD} AS UBIGINT)"
+    )
+
+
+def _mix_ctes(seeds: dict[str, str], src: str) -> str:
+    """CTE chain computing mix(<seed expr>) for each named column over
+    `src` (which must expose column i). Terminal CTE is `mixed`."""
+    s0 = ", ".join(
+        f"CAST((CAST({expr} AS HUGEINT) + {_MIX_C0}) % {_MIX_MOD} "
+        f"AS UBIGINT) AS {name}"
+        for name, expr in seeds.items()
+    )
+    x1 = ", ".join(f"xor({n}, {n} >> 30) AS {n}" for n in seeds)
+    m1 = ", ".join(f"{_mulmod_sql(n, _MIX_C1)} AS {n}" for n in seeds)
+    x2 = ", ".join(f"xor({n}, {n} >> 27) AS {n}" for n in seeds)
+    m2 = ", ".join(f"{_mulmod_sql(n, _MIX_C2)} AS {n}" for n in seeds)
+    fin = ", ".join(f"xor({n}, {n} >> 31) AS {n}" for n in seeds)
+    return f"""
+            mix_s0 AS (SELECT i, {s0} FROM {src}),
+            mix_x1 AS (SELECT i, {x1} FROM mix_s0),
+            mix_m1 AS (SELECT i, {m1} FROM mix_x1),
+            mix_x2 AS (SELECT i, {x2} FROM mix_m1),
+            mix_m2 AS (SELECT i, {m2} FROM mix_x2),
+            mixed AS (SELECT i, {fin} FROM mix_m2)
+    """
+
 
 # the language-ID stopword profiles, rendered once as a SQL VALUES list so
 # the oracle and the engine share a single source of truth
@@ -990,6 +1043,79 @@ ORACLE_SQL.update(
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.6
         """,
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_extract_all(text,
+                           '{BPE_PATTERN.replace("'", "''")}'),
+                       x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\\S+') AS toks,
+                       length(text) AS nch,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           AS npunct
+                FROM documents
+            ),
+            calc AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> list_contains(
+                                     [{", ".join(repr(w) for w in sorted(_LANG_PROFILES["en"]))}],
+                                     lower(x)))) * 1.0 / len(toks)
+                            ELSE 0.0 END AS stop_r,
+                       CASE WHEN nch > 0 THEN npunct * 1.0 / nch
+                            ELSE 0.0 END AS punct_r,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks,
+                                     x -> length(x))) * 1.0 / len(toks)
+                            ELSE 0.0 END AS mean_len
+                FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round(stop_r, 6) AS stopword_ratio,
+                   round(punct_r, 6) AS punct_ratio,
+                   round(mean_len, 6) AS mean_token_len,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * (1.0 - punct_r)
+                         + 0.3 * least(stop_r * 5.0, 1.0), 6) AS quality
+            FROM calc
+        """,
+        "frame_sample": f"""
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            {_mix_ctes({"ka": "i * 11 + 5", "fb": "i * 7 + 3"}, "ids")},
+            meta AS (
+                SELECT i, ka % 3 AS kind_idx,
+                       CAST(8 + fb % 24 AS BIGINT) AS n_frames
+                FROM mixed
+            )
+            SELECT i AS media_id,
+                   unnest(range(0, n_frames, 4)) AS frame_idx
+            FROM meta WHERE kind_idx = 2
+        """,
+        "media_features": f"""
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            {_mix_ctes(
+                {
+                    "ka": "i * 11 + 5",
+                    "wc": "i * 3 + 1",
+                    "hd": "i * 5 + 2",
+                    "fb": "i * 7 + 3",
+                },
+                "ids",
+            )}
+            SELECT i AS media_id,
+                   CAST(16 + wc % 48 AS INTEGER) AS width,
+                   CAST(16 + hd % 48 AS INTEGER) AS height,
+                   CAST(CASE WHEN ka % 3 = 0 THEN 1
+                             ELSE 8 + fb % 24 END AS INTEGER) AS n_frames,
+                   CAST(1.0 AS DOUBLE) AS feature_sum
+            FROM mixed
+        """,
         "embedding_near_dups_exact": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -1072,6 +1198,8 @@ QUERIES.update(
         "top_tokens": q_top_tokens,
         "exact_dedup": q_exact_dedup,
         "lang_id": q_lang_id,
+        "bpe_token_counts": q_bpe_token_counts,
+        "doc_quality": q_doc_quality,
         "minhash_signatures": q_minhash_signatures,
         "simhash_signatures": q_simhash,
         "near_dup_minhash": q_near_dup_minhash,
