@@ -158,7 +158,11 @@ class JoinedGraph:
     edges: symmetrized, triple-deduped entries (src, dst, weight),
     materialized once. degrees: (vid, deg) for EVERY vid 0..n-1 (zero for
     isolated). m = n_entries // 2 (reference sparsify semantics,
-    `/root/reference/src/graph.cpp:62`)."""
+    `/root/reference/src/graph.cpp:62`). P: the SIZE-AWARE join fan-out
+    every per-round pipeline over this graph defaults to — tiny graphs
+    (coarse Louvain levels, test fixtures) get 1-2 join partitions instead
+    of cpus//2, because each hash-join execution spins up P aggregator
+    actors and at small working sets that spin-up IS the round cost."""
 
     edges: ray.data.Dataset
     degrees: ray.data.Dataset
@@ -167,37 +171,83 @@ class JoinedGraph:
     n_entries: int
     total_weight: float
     max_out_degree: int = 0  # max per-src entry count (hub detector)
+    P: int = 0  # size-aware default join fan-out (0 = unset, use cap)
+
+
+# target CSR entries per join partition: below this, extra join aggregator
+# actors cost more in spin-up than they save in parallelism
+_ROWS_PER_JOIN_PARTITION = 262_144
+
+
+def _size_aware_P(rows: int, partitions: int | None = None) -> int:
+    cap = join_partitions(partitions)
+    if partitions is not None:
+        return cap
+    return max(1, min(cap, (rows // _ROWS_PER_JOIN_PARTITION) + 1))
+
+
+def _jg_P(jg: JoinedGraph, partitions: int | None) -> int:
+    """Per-call fan-out: explicit override > the graph's size-aware P."""
+    if partitions is not None:
+        return partitions
+    return jg.P or join_partitions(None)
 
 
 def joined_graph_from_entries(
     entries: ray.data.Dataset, n: int, partitions: int | None = None
 ) -> JoinedGraph:
     """`entries` must already be symmetrized + deduped with dense vids
-    0..n-1 (what `build_graph` feeds its CSR pack)."""
-    P = join_partitions(partitions)
-    edges = _tight(entries, max(P, 4))
-    n_entries = edges.count()
-    agg = edges.groupby("src").sum("weight")
-    deg_present = _rename(agg, ["vid", "deg"])
-    vertices = _rename(ray.data.range(n), ["vid"])
-    deg_all = _join(
-        vertices, deg_present, on=("vid",), how="left_outer", P=P
-    ).map_batches(
+    0..n-1 (what `build_graph` feeds its CSR pack).
+
+    Metadata (n_entries, total_weight, max out-degree) and the dense degree
+    table all come out of ONE per-block partial-aggregate + ONE groupby +
+    ONE scalar aggregate — the naive shape (count, degree groupby, weight
+    sum, count groupby, max aggregate as five separate executions) spent
+    ~25 s of pure executor/actor spin-up on a 100-vertex graph."""
+    mat = entries.materialize()
+    rows = mat.count()  # metadata-only on a materialized dataset
+    P = _size_aware_P(rows, partitions)
+    edges = _tight(mat, max(P, 2))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "vid": uniq.astype(np.int64),
+                "cnt": np.bincount(inv).astype(np.int64),
+                "wsum": np.bincount(inv, weights=w.astype(np.float64)),
+            }
+        )
+
+    zeros = ray.data.range(n, override_num_blocks=P).map_batches(
         lambda b: pa.table(
             {
-                "vid": b.column("vid"),
-                "deg": pc.coalesce(b.column("deg"), pa.scalar(0.0)),
+                "vid": b.column("id"),
+                "cnt": np.zeros(b.num_rows, dtype=np.int64),
+                "wsum": np.zeros(b.num_rows, dtype=np.float64),
             }
         ),
         batch_format="pyarrow",
     )
-    deg_all = _tight(deg_all, P)
-    total_weight = _scalar_sum(edges, "weight")
+    persrc = _tight(
+        _rename(
+            edges.map_batches(partials, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("vid")
+            .aggregate(Sum("cnt"), Sum("wsum")),
+            ["vid", "cnt", "deg"],
+        ),
+        P,
+    )
     from ray.data.aggregate import Max
 
-    counts = edges.groupby("src").count()
-    mx = counts.aggregate(Max("count()"))
-    max_out = int(mx.get("max(count())") or 0)
+    scal = persrc.aggregate(Sum("cnt"), Max("cnt"), Sum("deg"))
+    n_entries = int(scal.get("sum(cnt)") or 0)
+    max_out = int(scal.get("max(cnt)") or 0)
+    total_weight = float(scal.get("sum(deg)") or 0.0)
+    deg_all = _tight(persrc.select_columns(["vid", "deg"]), P)
     return JoinedGraph(
         edges=edges,
         degrees=deg_all,
@@ -206,6 +256,7 @@ def joined_graph_from_entries(
         n_entries=n_entries,
         total_weight=total_weight,
         max_out_degree=max_out,
+        P=P,
     )
 
 
@@ -237,15 +288,16 @@ def joined_graph_from_handle(graph) -> JoinedGraph:
 
 def singleton_assignment(jg: JoinedGraph) -> ray.data.Dataset:
     """(vid, comm=vid) — reference init (`src/community.cpp:16-30`)."""
+    P = _jg_P(jg, None)
     return _tight(
         _rename(
-            ray.data.range(jg.n).map_batches(
+            ray.data.range(jg.n, override_num_blocks=P).map_batches(
                 lambda b: pa.table({"vid": b.column("id"), "comm": b.column("id")}),
                 batch_format="pyarrow",
             ),
             ["vid", "comm"],
         ),
-        join_partitions(None),
+        P,
     )
 
 
@@ -301,7 +353,7 @@ def louvain_sweep_joined(
 
     `hub_salts`: when set, the neighbor-weight groupby runs as the salted
     two-stage aggregate (skew defense for hub vertices — SURVEY §4.2)."""
-    P = join_partitions(partitions)
+    P = _jg_P(jg, partitions)
 
     # community stats from the snapshot
     ad = _tight(_join(assign, jg.degrees, on=("vid",), P=P), P)
@@ -469,7 +521,7 @@ def modularity_joined(
     (`src/community.cpp:49-60`), all as joins/aggregates."""
     if m2 <= 0:
         return 0.0
-    P = join_partitions(partitions)
+    P = _jg_P(jg, partitions)
     a_src = _rename(assign, ["vid", "c_src"])
     a_dst = _rename(assign, ["vid", "c_dst"])
     both = _join(
@@ -489,13 +541,17 @@ def modularity_joined(
     ad = _join(assign, jg.degrees, on=("vid",), P=P)
     tot = _rename(ad.groupby("comm").sum("deg"), ["comm", "tot"])
 
+    # Σ tot² summed RAW and divided by m2² once: for integer-weight graphs
+    # every tot² is an exact float (< 2^53) so the distributed sum is
+    # order-independent — block order (partition count) cannot perturb Q,
+    # keeping the bit-parity contract with `louvain_jacobi_numpy`.
     def sq(batch: pa.Table) -> pa.Table:
         t = batch.column("tot").to_numpy(zero_copy_only=False)
         t = t[t > 0]
-        return pa.table({"term": (t / m2) ** 2})
+        return pa.table({"term": t * t})
 
     sq_sum = _scalar_sum(tot.map_batches(sq, batch_format="pyarrow"), "term")
-    return intra / m2 - sq_sum
+    return intra / m2 - sq_sum / (m2 * m2)
 
 
 def coarsen_joined(
@@ -509,7 +565,7 @@ def coarsen_joined(
     Returns (coarse JoinedGraph, comm_map Dataset (comm, new_id))."""
     from parallel_louvain_method_ray.graph.build import assign_dense_ids
 
-    P = join_partitions(partitions)
+    P = _jg_P(jg, partitions)
     distinct = assign.groupby("comm").count().select_columns(["comm"]).materialize()
     ncomms = distinct.count()
     comm_map = assign_dense_ids(distinct, "comm").materialize()  # (comm, vid=new)
@@ -549,11 +605,12 @@ def louvain_joined(
     `louvain_jacobi_numpy` is the bit-parity reference for this loop.
     `hub_degree_threshold`: max out-degree above which the neighbor-weight
     groupby runs salted (16 salts) — the hub-skew defense."""
-    P = join_partitions(partitions)
     jg0 = jg
     membership = singleton_assignment(jg)  # (vid, comm) comm in current level space
     levels: list[dict] = []
     for level in range(max_levels):
+        # per-level fan-out: coarse levels shrink, so does their join P
+        P = _jg_P(jg, partitions)
         m2 = 2.0 * jg.m if m_mode == "count" else jg.total_weight
         hub_salts = (
             16
@@ -662,7 +719,9 @@ def louvain_jacobi_numpy(
     intra = float(w0[mask].sum())
     tot0 = np.bincount(membership, weights=np.bincount(src0, weights=w0, minlength=n0), minlength=n0)
     nz = tot0 > 0
-    q = intra / m2_0 - float(((tot0[nz] / m2_0) ** 2).sum())
+    # raw Σ tot², one division — same order-independent form as
+    # modularity_joined (bit-parity contract)
+    q = intra / m2_0 - float((tot0[nz] * tot0[nz]).sum()) / (m2_0 * m2_0)
     return membership, q
 
 
@@ -682,7 +741,7 @@ def pagerank_joined(
     semantics as `pagerank` (damping, uniform init, dangling mass
     redistributed); per iteration: ranks ⋈ degrees → scaled ⋈ edges →
     groupby(dst).sum + dangling scalar."""
-    P = join_partitions(partitions)
+    P = _jg_P(jg, partitions)
     n = jg.n
     ranks = jg.degrees.map_batches(
         lambda b: pa.table(
@@ -771,9 +830,9 @@ def connected_components_joined(
     jg: JoinedGraph, max_rounds: int = 200, partitions: int | None = None
 ) -> tuple[ray.data.Dataset, dict]:
     """Min-label propagation, labels as a Dataset (vid, label); exact."""
-    P = join_partitions(partitions)
+    P = _jg_P(jg, partitions)
     labels = _rename(
-        ray.data.range(jg.n).map_batches(
+        ray.data.range(jg.n, override_num_blocks=P).map_batches(
             lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
             batch_format="pyarrow",
         ),
@@ -829,7 +888,7 @@ def lpa_sweep_joined(
     with max incident weight; keep current unless strictly better or equal
     weight with smaller label). `hub_salts`: salted two-stage
     neighbor-label aggregate (hub-skew defense)."""
-    P = join_partitions(partitions)
+    P = _jg_P(jg, partitions)
     nbr = _filter(
         jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
     )
@@ -932,7 +991,7 @@ def label_propagation_joined(
         else None
     )
     labels = _rename(
-        ray.data.range(jg.n).map_batches(
+        ray.data.range(jg.n, override_num_blocks=_jg_P(jg, partitions)).map_batches(
             lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
             batch_format="pyarrow",
         ),

@@ -41,18 +41,27 @@ def _perm_params(n_perms: int = N_PERMS) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
     toks = _TOKEN.findall(_normalize(text))
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    shingles = _shingle_strings(text, k)
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
         out[i] = int.from_bytes(
             hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
         )
     return np.unique(out)
+
+
+def md5_lower64(s: str) -> int:
+    """Lower 64 bits of md5 exactly as DuckDB's `md5_number_lower`: the
+    LAST 8 digest bytes, little-endian — a SQL-replicable 64-bit hash."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
 class MinHasher:
@@ -88,6 +97,52 @@ def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.map_batches(
         cached_stage(MinHasher), batch_format="pyarrow", batch_size=128
+    )
+
+
+class MinHasherMD5(MinHasher):
+    """Oracle-checkable MinHash: identical shingling and permutation sweep
+    to `MinHasher`, but the shingle hash is `md5_lower64 % p` (replicable
+    in DuckDB as `md5_number_lower(shingle) % 2147483647`) and signatures
+    come out LONG — one (doc_id, perm_idx, sig) row per permutation — so a
+    SQL oracle can recompute the whole signature matrix row for row. The
+    blake2b production path stays the default (faster digest); this
+    variant pins the permutation/min logic under the driver's hash gate."""
+
+    def signature(self, text: str) -> np.ndarray:
+        shingles = _shingle_strings(text)
+        if not shingles:
+            return np.full(N_PERMS, _P31, dtype=np.int64)
+        x = np.fromiter(
+            (md5_lower64(s) % _P31 for s in shingles),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _P31
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = ids.shape[0]
+        sigs = (
+            np.stack([self.signature(t) for t in batch.column("text").to_pylist()])
+            if n
+            else np.empty((0, N_PERMS), np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, N_PERMS),
+                "perm_idx": np.tile(np.arange(N_PERMS, dtype=np.int64), n),
+                "sig": sigs.reshape(-1),
+            }
+        )
+
+
+def minhash_signatures_md5(docs: ray.data.Dataset) -> ray.data.Dataset:
+    from parallel_louvain_method_ray.ops.pool import cached_stage
+
+    return docs.map_batches(
+        cached_stage(MinHasherMD5), batch_format="pyarrow", batch_size=128
     )
 
 

@@ -62,6 +62,62 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _simhash64_md5(text: str) -> int:
+    """SimHash with the SQL-replicable token hash (`md5_lower64`, DuckDB's
+    md5_number_lower): bit p of the signature is set iff the count-weighted
+    sum of (±1 per token, + when bit p of the token hash is set) is > 0 —
+    the same Charikar rule as `_simhash64`, hash swapped."""
+    from parallel_louvain_method_ray.dedup.minhash import md5_lower64
+
+    counts: dict[str, int] = {}
+    for tok in _TOKEN.findall(_normalize(text)):
+        counts[tok] = counts.get(tok, 0) + 1
+    if not counts:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    bits = np.arange(64, dtype=np.uint64)
+    for tok, c in counts.items():
+        v = (np.uint64(md5_lower64(tok)) >> bits) & np.uint64(1)
+        acc += np.where(v.astype(bool), c, -c)
+    sig = 0
+    for p in range(64):
+        if acc[p] > 0:
+            sig |= 1 << p
+    return sig
+
+
+class SimHasherMD5:
+    """Long-form (doc_id, chunk_idx, chunk_val) signatures — the 64-bit
+    simhash split into four 16-bit chunks (the same chunks the LSH banding
+    uses) so every value is a small int64 a SQL oracle can reproduce."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = ids.shape[0]
+        sigs = np.fromiter(
+            (_simhash64_md5(t) for t in batch.column("text").to_pylist()),
+            dtype=np.uint64,
+            count=n,
+        )
+        shifts = (np.uint64(16) * np.arange(_N_CHUNKS, dtype=np.uint64))[None, :]
+        vals = ((sigs[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, _N_CHUNKS),
+                "chunk_idx": np.tile(np.arange(_N_CHUNKS, dtype=np.int64), n),
+                "chunk_val": vals.reshape(-1),
+            }
+        )
+
+
+def simhash_chunks_md5(docs: ray.data.Dataset) -> ray.data.Dataset:
+    from parallel_louvain_method_ray.ops.pool import cached_stage
+
+    return docs.map_batches(
+        cached_stage(SimHasherMD5), batch_format="pyarrow", batch_size=128
+    )
+
+
 def near_dup_pairs_simhash(
     docs: ray.data.Dataset, max_hamming: int = 3, max_bucket_size: int = 200
 ) -> pa.Table:

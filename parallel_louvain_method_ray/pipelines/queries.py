@@ -872,6 +872,25 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(_docs_ds(sf_dir))
 
 
+def q_minhash_md5(sf_dir: str):
+    """Full 64-permutation MinHash signature matrix in LONG form, with the
+    SQL-replicable shingle hash — the DuckDB oracle recomputes every
+    (doc_id, perm_idx, sig) cell (shingling, md5_number_lower, the
+    (a*x+b) mod p permutation sweep, the empty-doc sentinel)."""
+    from parallel_louvain_method_ray.dedup.minhash import minhash_signatures_md5
+
+    return minhash_signatures_md5(_docs_ds(sf_dir))
+
+
+def q_simhash_md5(sf_dir: str):
+    """64-bit SimHash as four 16-bit chunks in LONG form, with the
+    SQL-replicable token hash — the oracle recomputes the count-weighted
+    Charikar bit votes per (doc_id, chunk_idx)."""
+    from parallel_louvain_method_ray.dedup.simhash import simhash_chunks_md5
+
+    return simhash_chunks_md5(_docs_ds(sf_dir))
+
+
 def q_doc_quality(sf_dir: str):
     return doc_quality(_docs_ds(sf_dir))
 
@@ -967,6 +986,17 @@ _LANG_VALUES_SQL = ", ".join(
     for lang, words in sorted(_LANG_PROFILES.items())
     for w in sorted(words)
 )
+
+# the MinHash permutation parameters, rendered once as a SQL VALUES list —
+# the md5-variant oracle shares the engine's exact (a, b) table
+def _perm_values_sql() -> str:
+    from parallel_louvain_method_ray.dedup.minhash import _perm_params
+
+    a, b = _perm_params()
+    return ", ".join(
+        f"({i}, {int(ai)}, {int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+
 
 # documents plus the deterministic near-duplicates `_augmented_docs` plants
 # (doc_id < 20: last token swapped for 'dupmarker' when > 3 tokens, id
@@ -1164,6 +1194,74 @@ ORACLE_SQL.update(
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "minhash_md5": f"""
+            WITH toksed AS (
+                SELECT doc_id,
+                       regexp_extract_all({_NORM_SQL}, '\\S+') AS toks
+                FROM documents
+            ),
+            shingled AS (
+                -- word 3-grams (whole text when < 3 tokens; none when
+                -- empty): toks[i:i+2] is DuckDB's 1-based INCLUSIVE slice
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i:i + 2], ' ') AS shingle
+                FROM toksed,
+                     unnest(range(1, greatest(len(toks) - 2,
+                            CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END) + 1)
+                     ) AS r(i)
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(shingle) % 2147483647 AS BIGINT)
+                           AS x
+                FROM shingled
+            ),
+            perms(perm_idx, a, b) AS (VALUES {_perm_values_sql()}),
+            mins AS (
+                SELECT doc_id, perm_idx,
+                       min((a * x + b) % 2147483647) AS sig
+                FROM hashed CROSS JOIN perms
+                GROUP BY 1, 2
+            )
+            SELECT d.doc_id,
+                   CAST(p.perm_idx AS BIGINT) AS perm_idx,
+                   CAST(coalesce(m.sig, 2147483647) AS BIGINT) AS sig
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN perms p
+            LEFT JOIN mins m
+                ON m.doc_id = d.doc_id AND m.perm_idx = p.perm_idx
+        """,
+        "simhash_md5": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all({_NORM_SQL}, '\\S+')) AS tok
+                FROM documents
+            ),
+            cnts AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            acc AS (
+                SELECT doc_id, b.range AS bit,
+                       sum(CASE WHEN (md5_number_lower(tok) >> b.range) & 1 = 1
+                                THEN c ELSE -c END) AS s
+                FROM cnts CROSS JOIN range(64) b
+                GROUP BY 1, 2
+            ),
+            chunks AS (
+                SELECT doc_id, bit // 16 AS chunk_idx,
+                       sum(CASE WHEN s > 0
+                                THEN CAST(1 AS BIGINT) << (bit % 16)
+                                ELSE 0 END) AS chunk_val
+                FROM acc GROUP BY 1, 2
+            )
+            SELECT d.doc_id,
+                   CAST(ci.range AS BIGINT) AS chunk_idx,
+                   CAST(coalesce(c.chunk_val, 0) AS BIGINT) AS chunk_val
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN range(4) ci
+            LEFT JOIN chunks c
+                ON c.doc_id = d.doc_id AND c.chunk_idx = ci.range
+        """,
         "cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv
@@ -1202,6 +1300,8 @@ QUERIES.update(
         "doc_quality": q_doc_quality,
         "minhash_signatures": q_minhash_signatures,
         "simhash_signatures": q_simhash,
+        "minhash_md5": q_minhash_md5,
+        "simhash_md5": q_simhash_md5,
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_simhash": q_near_dup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
