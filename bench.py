@@ -322,7 +322,13 @@ def main() -> None:
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        mult = args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "256"))
+        # default working set 91M entries (mult=1280): large enough that
+        # per-round kernel work dominates the BSP round trip — the regime
+        # the 100 TB target lives in. At small working sets (e.g. mult=256,
+        # 23M entries) the delta-broadcast sweeps are so fast that fixed
+        # round cost dominates the 32-CPU leg and the ratio understates the
+        # engine (see BASELINE.md scaling evidence v3).
+        mult = args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "1280"))
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
         results = {}
         # ALTERNATE the legs (8, 32, 8, 32, ...) so fluctuating external
@@ -374,7 +380,7 @@ def main() -> None:
 
     if args.job == "scaling-unit":
         result = run_scaling_unit(
-            sf_dir, num_cpus, args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "256"))
+            sf_dir, num_cpus, args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "1280"))
         )
     else:
         result = run_bench(sf_dir, num_cpus)

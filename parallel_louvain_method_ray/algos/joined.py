@@ -49,15 +49,24 @@ from parallel_louvain_method_ray.graph.build import join_partitions
 # ---------------------------------------------------------------------------
 
 
-def _rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
-    out = ds.map_batches(
-        lambda b, _n=tuple(names): b.rename_columns(list(_n)),
-        batch_format="pyarrow",
-    )
+def _blockwise(ds: ray.data.Dataset, fn) -> ray.data.Dataset:
+    """map_batches for per-block ops that PRESERVE row counts (rename,
+    select, add/scale columns — not filters): the `_plm_tight` no-empty-
+    blocks marker rides along, so a tight loop-state dataset stays tight
+    through the per-round column plumbing and `_join` skips its
+    materialize+compact pass on it."""
+    out = ds.map_batches(fn, batch_format="pyarrow")
     if getattr(ds, "_plm_tight", False):
-        # per-block rename preserves the nonempty block structure
         out._plm_tight = True
     return out
+
+
+def _rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
+    return _blockwise(ds, lambda b, _n=tuple(names): b.rename_columns(list(_n)))
+
+
+def _select(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    return _blockwise(ds, lambda b, _c=tuple(cols): b.select(list(_c)))
 
 
 def _filter(ds: ray.data.Dataset, fn) -> ray.data.Dataset:
@@ -743,13 +752,13 @@ def pagerank_joined(
     groupby(dst).sum + dangling scalar."""
     P = _jg_P(jg, partitions)
     n = jg.n
-    ranks = jg.degrees.map_batches(
+    ranks = _blockwise(
+        jg.degrees,
         lambda b: pa.table(
             {"vid": b.column("vid"),
              "rank": np.full(b.num_rows, 1.0 / n, dtype=np.float64)}
         ),
-        batch_format="pyarrow",
-    ).materialize()
+    )
     delta = np.inf
     iters = 0
     for it in range(max_iter):
@@ -764,12 +773,12 @@ def pagerank_joined(
                 {"vid": batch.column("vid"), "s": s, "dang": dang}
             )
 
-        scaled = rd.map_batches(scale, batch_format="pyarrow").materialize()
+        scaled = _tight(rd.map_batches(scale, batch_format="pyarrow"), P)
         dangling_mass = _scalar_sum(scaled, "dang")
         contrib = (
             _join(
                 jg.edges,
-                scaled.select_columns(["vid", "s"]),
+                _select(scaled, ["vid", "s"]),
                 on=("src",),
                 right_on=("vid",),
                 P=P,
@@ -790,7 +799,7 @@ def pagerank_joined(
         incoming = _rename(contrib, ["vid", "incoming"])
         base = (1.0 - damping) / n + damping * dangling_mass / n
 
-        new_ranks = (
+        new_ranks = _tight(
             _join(ranks, incoming, on=("vid",), how="left_outer", P=P)
             .map_batches(
                 lambda b, _base=base: pa.table(
@@ -804,8 +813,8 @@ def pagerank_joined(
                     }
                 ),
                 batch_format="pyarrow",
-            )
-            .materialize()
+            ),
+            P,
         )
         delta_ds = new_ranks.map_batches(
             lambda b: pa.table(
@@ -819,7 +828,7 @@ def pagerank_joined(
             batch_format="pyarrow",
         )
         delta = _scalar_sum(delta_ds, "d")
-        ranks = new_ranks.select_columns(["vid", "rank"]).materialize()
+        ranks = _select(new_ranks, ["vid", "rank"])  # lazy, stays tight
         iters = it + 1
         if delta < tol:
             break
@@ -827,18 +836,36 @@ def pagerank_joined(
 
 
 def connected_components_joined(
-    jg: JoinedGraph, max_rounds: int = 200, partitions: int | None = None
+    jg: JoinedGraph,
+    max_rounds: int = 200,
+    partitions: int | None = None,
+    pointer_doubling_after: int | None = 2,
 ) -> tuple[ray.data.Dataset, dict]:
-    """Min-label propagation, labels as a Dataset (vid, label); exact."""
+    """Min-label propagation, labels as a Dataset (vid, label); exact.
+
+    `pointer_doubling_after`: from that round on, each neighbor-min round
+    is followed by a pointer-jump `label <- label(label)` (labels are vids,
+    so the label table doubles as the jump lookup) — total rounds drop
+    from O(diameter) to O(log diameter) on high-diameter graphs (the 100 TB
+    regime's defense against chain-shaped components). Low-diameter graphs
+    converge before the threshold and never pay for the extra join. None
+    disables. Converged labels are identical either way (min vid per
+    component); only the round count differs."""
     P = _jg_P(jg, partitions)
-    labels = _rename(
-        ray.data.range(jg.n, override_num_blocks=P).map_batches(
-            lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
-            batch_format="pyarrow",
+    labels = _tight(
+        _rename(
+            ray.data.range(jg.n, override_num_blocks=P).map_batches(
+                lambda b: pa.table(
+                    {"vid": b.column("id"), "label": b.column("id")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["vid", "label"],
         ),
-        ["vid", "label"],
-    ).materialize()
+        P,
+    )
     rounds = 0
+    jumps = 0
     while rounds < max_rounds:
         nbr_min = (
             _join(
@@ -852,30 +879,56 @@ def connected_components_joined(
             .min("dst_label")
         )
         nbr_min = _rename(nbr_min, ["vid", "nbr_min"])
-        merged = _join(
-            labels, nbr_min, on=("vid",), how="left_outer", P=P
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "vid": b.column("vid"),
-                    "label": pc.min_element_wise(
-                        b.column("label"),
-                        pc.coalesce(b.column("nbr_min"), b.column("label")),
-                    ),
-                    "changed": pc.less(
-                        pc.coalesce(b.column("nbr_min"), b.column("label")),
-                        b.column("label"),
-                    ).cast(pa.int64()),
-                }
+        merged = _tight(
+            _join(labels, nbr_min, on=("vid",), how="left_outer", P=P).map_batches(
+                lambda b: pa.table(
+                    {
+                        "vid": b.column("vid"),
+                        "label": pc.min_element_wise(
+                            b.column("label"),
+                            pc.coalesce(b.column("nbr_min"), b.column("label")),
+                        ),
+                        "changed": pc.less(
+                            pc.coalesce(b.column("nbr_min"), b.column("label")),
+                            b.column("label"),
+                        ).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
-        ).materialize()
+            P,
+        )
         changed = int(_scalar_sum(merged, "changed"))
-        labels = merged.select_columns(["vid", "label"]).materialize()
+        labels = _select(merged, ["vid", "label"])  # lazy, stays tight
         rounds += 1
         if changed == 0:
             break
-    return labels, {"rounds": rounds}
+        if pointer_doubling_after is not None and rounds >= pointer_doubling_after:
+            # label(v) <- min(label(v), label(label(v))): every label IS a
+            # vid of the same component, so the inner self-join is complete
+            jump = _join(
+                labels,
+                _rename(labels, ["jvid", "label2"]),
+                on=("label",),
+                right_on=("jvid",),
+                P=P,
+            )
+            labels = _tight(
+                jump.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "vid": b.column("vid"),
+                            "label": pc.min_element_wise(
+                                b.column("label"), b.column("label2")
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                P,
+            )
+            jumps += 1
+    return labels, {"rounds": rounds, "jumps": jumps}
 
 
 def lpa_sweep_joined(
@@ -906,7 +959,7 @@ def lpa_sweep_joined(
         )
     else:
         k = kj.groupby(["src", "nlab"]).sum("weight")
-    k = _rename(k, ["src", "nlab", "kw"]).materialize()
+    k = _tight(_rename(k, ["src", "nlab", "kw"]), P)
     if k.count() == 0:
         return labels, 0
     wmax = _rename(k.groupby("src").max("kw"), ["src", "wmax"])
@@ -962,9 +1015,8 @@ def lpa_sweep_joined(
     changed = moved.count()
     if changed == 0:
         return labels, 0
-    new_labels = (
-        _join(labels, moved, on=("vid",), how="left_outer", P=P)
-        .map_batches(
+    new_labels = _tight(
+        _join(labels, moved, on=("vid",), how="left_outer", P=P).map_batches(
             lambda b: pa.table(
                 {
                     "vid": b.column("vid"),
@@ -972,8 +1024,8 @@ def lpa_sweep_joined(
                 }
             ),
             batch_format="pyarrow",
-        )
-        .materialize()
+        ),
+        P,
     )
     return new_labels, changed
 
@@ -990,13 +1042,19 @@ def label_propagation_joined(
         and jg.max_out_degree > hub_degree_threshold
         else None
     )
-    labels = _rename(
-        ray.data.range(jg.n, override_num_blocks=_jg_P(jg, partitions)).map_batches(
-            lambda b: pa.table({"vid": b.column("id"), "label": b.column("id")}),
-            batch_format="pyarrow",
+    P = _jg_P(jg, partitions)
+    labels = _tight(
+        _rename(
+            ray.data.range(jg.n, override_num_blocks=P).map_batches(
+                lambda b: pa.table(
+                    {"vid": b.column("id"), "label": b.column("id")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["vid", "label"],
         ),
-        ["vid", "label"],
-    ).materialize()
+        P,
+    )
     sweeps = 0
     for _ in range(max_sweeps):
         labels, changed = lpa_sweep_joined(

@@ -92,6 +92,28 @@ def test_cc_joined_exact():
     np.testing.assert_array_equal(lj, lb)
 
 
+def test_cc_joined_pointer_doubling_on_path_graph():
+    # a 48-vertex path: plain min-label propagation needs ~47 rounds (the
+    # min label travels one hop per round); with pointer doubling the jump
+    # label(v) <- label(label(v)) contracts chains, so rounds stay
+    # O(log diameter). Labels must be identical either way.
+    n = 48
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    g = _graph(src, dst, np.ones(n - 1), P=2)
+    jg = joined_graph_from_handle(g)
+    lab_ds, meta = connected_components_joined(jg, pointer_doubling_after=2)
+    lj = _col(lab_ds, "label")
+    np.testing.assert_array_equal(lj, np.zeros(n, dtype=np.int64))
+    # plain propagation would need n-1 = 47 rounds on this path (min label
+    # travels one hop per round — not re-measured here, it's ~2 min of pure
+    # per-round fixed cost); doubling must stay logarithmic
+    assert meta["rounds"] <= 14, meta
+    assert meta["jumps"] >= 1, meta
+    lb, _ = connected_components(g)
+    np.testing.assert_array_equal(lj, lb)
+
+
 def test_lpa_joined_matches_broadcast():
     src, dst, w, _ = planted_partition_graph(36, 3, 5, 1, seed=4)
     g = _graph(src, dst, np.ones(len(src)), P=3)
