@@ -907,6 +907,16 @@ def q_cosine_topk_lsh(sf_dir: str):
     return cosine_topk_lsh(emb, qmat, qids, k=10)
 
 
+def q_cosine_topk_ivf(sf_dir: str):
+    """IVF ANN scale path (coarse quantizer + nprobe bucket scan); recall
+    vs the brute-force baseline is pinned in tests."""
+    from parallel_louvain_method_ray.sim.search import cosine_topk_ivf
+
+    emb = _emb_ds(sf_dir)
+    qids, qmat = queries_from_dataset(emb, [0, 1, 2, 3, 4])
+    return cosine_topk_ivf(emb, qmat, qids, k=10, n_centroids=32, nprobe=8)
+
+
 def q_media_features(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     feats = decode_features(synthesize_media(docs), concurrency=2, batch_size=64)
@@ -1309,6 +1319,7 @@ QUERIES.update(
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }

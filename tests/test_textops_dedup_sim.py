@@ -180,6 +180,44 @@ def test_cosine_topk_lsh_recall():
     assert len(exact & approx) >= 4  # >= 80% recall on the planted cluster
 
 
+def test_cosine_topk_ivf_recall_and_bucketed_layout():
+    from parallel_louvain_method_ray.sim.search import (
+        cosine_topk_ivf,
+        ivf_assign,
+        train_coarse_quantizer,
+    )
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((300, 32))
+    for j in range(290, 300):  # tight cluster around query 7
+        mat[j] = mat[7] + 0.01 * rng.standard_normal(32)
+    ds = _emb_ds(mat)
+    qids = np.array([7], dtype=np.int64)
+    exact = set(
+        cosine_topk(ds, mat[qids], qids, k=5).to_pandas().vec_id.tolist()
+    )
+    cent = train_coarse_quantizer(ds, n_centroids=16, sample_size=300)
+    approx = set(
+        cosine_topk_ivf(ds, mat[qids], qids, k=5, nprobe=4, centroids=cent)
+        .to_pandas()
+        .vec_id.tolist()
+    )
+    assert len(exact & approx) >= 4  # >= 80% recall on the planted cluster
+
+    # build step: every vector gets a bucket in [0, n_centroids) — the
+    # partition key for the write_parquet(partition_cols=["bucket"]) layout
+    tagged = ivf_assign(ds, cent).to_pandas()
+    assert len(tagged) == 300
+    assert tagged.bucket.between(0, 15).all()
+    # nprobe = all centroids degenerates to the exact scan
+    full = set(
+        cosine_topk_ivf(ds, mat[qids], qids, k=5, nprobe=16, centroids=cent)
+        .to_pandas()
+        .vec_id.tolist()
+    )
+    assert full == exact
+
+
 def test_media_plumbing():
     ids = ray.data.from_arrow(
         pa.table({"doc_id": np.arange(40, dtype=np.int64)})
