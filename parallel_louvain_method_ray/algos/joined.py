@@ -746,23 +746,27 @@ def pagerank_joined(
     max_iter: int = 100,
     partitions: int | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
-    """Power iteration with ranks as a Dataset (vid, rank). Same published
-    semantics as `pagerank` (damping, uniform init, dangling mass
-    redistributed); per iteration: ranks ⋈ degrees → scaled ⋈ edges →
-    groupby(dst).sum + dangling scalar."""
+    """Power iteration with ranks as a Dataset. Same published semantics
+    as `pagerank` (damping, uniform init, dangling mass redistributed).
+
+    The loop state is (vid, deg, rank) — the per-vertex degree rides INSIDE
+    the state dataset, so each iteration is exactly two joins (scaled-state
+    ⋈ edges for the contribution shuffle, state ⟕ incoming for the update)
+    instead of three: the old per-iteration ranks ⋈ degrees join was ~1/3
+    of the round's fixed cost and carried no information the state can't."""
     P = _jg_P(jg, partitions)
     n = jg.n
-    ranks = _blockwise(
+    state = _blockwise(
         jg.degrees,
         lambda b: pa.table(
             {"vid": b.column("vid"),
+             "deg": b.column("deg"),
              "rank": np.full(b.num_rows, 1.0 / n, dtype=np.float64)}
         ),
     )
     delta = np.inf
     iters = 0
     for it in range(max_iter):
-        rd = _join(ranks, jg.degrees, on=("vid",), P=P)
 
         def scale(batch: pa.Table) -> pa.Table:
             r = batch.column("rank").to_numpy(zero_copy_only=False)
@@ -770,10 +774,16 @@ def pagerank_joined(
             s = np.where(d > 0, r / np.where(d > 0, d, 1.0), 0.0)
             dang = np.where(d <= 0, r, 0.0)
             return pa.table(
-                {"vid": batch.column("vid"), "s": s, "dang": dang}
+                {
+                    "vid": batch.column("vid"),
+                    "deg": batch.column("deg"),
+                    "rank": batch.column("rank"),
+                    "s": s,
+                    "dang": dang,
+                }
             )
 
-        scaled = _tight(rd.map_batches(scale, batch_format="pyarrow"), P)
+        scaled = _tight(_blockwise(state, scale), P)
         dangling_mass = _scalar_sum(scaled, "dang")
         contrib = (
             _join(
@@ -799,12 +809,16 @@ def pagerank_joined(
         incoming = _rename(contrib, ["vid", "incoming"])
         base = (1.0 - damping) / n + damping * dangling_mass / n
 
-        new_ranks = _tight(
-            _join(ranks, incoming, on=("vid",), how="left_outer", P=P)
+        new_state = _tight(
+            _join(
+                _select(scaled, ["vid", "deg", "rank"]),
+                incoming, on=("vid",), how="left_outer", P=P,
+            )
             .map_batches(
                 lambda b, _base=base: pa.table(
                     {
                         "vid": b.column("vid"),
+                        "deg": b.column("deg"),
                         "rank": _base
                         + damping
                         * pc.coalesce(b.column("incoming"), pa.scalar(0.0))
@@ -816,7 +830,7 @@ def pagerank_joined(
             ),
             P,
         )
-        delta_ds = new_ranks.map_batches(
+        delta_ds = new_state.map_batches(
             lambda b: pa.table(
                 {
                     "d": np.abs(
@@ -828,10 +842,11 @@ def pagerank_joined(
             batch_format="pyarrow",
         )
         delta = _scalar_sum(delta_ds, "d")
-        ranks = _select(new_ranks, ["vid", "rank"])  # lazy, stays tight
+        state = _select(new_state, ["vid", "deg", "rank"])  # lazy, tight
         iters = it + 1
         if delta < tol:
             break
+    ranks = _select(state, ["vid", "rank"])
     return ranks, {"iterations": iters, "l1_delta": delta}
 
 
