@@ -945,6 +945,38 @@ def q_frame_sample(sf_dir: str):
     return sample_frames(synthesize_media(docs), every_k=4)
 
 
+def _real_media_ds(sf_dir: str):
+    from parallel_louvain_method_ray.mm.media import synthesize_media_real
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return synthesize_media_real(docs)
+
+
+def q_media_image_decode(sf_dir: str):
+    """REAL PNG decode (zlib + all 5 scanline filters) of splitmix-derived
+    payloads; the oracle regenerates the pixels in SQL — a codec bug
+    breaks the hash."""
+    from parallel_louvain_method_ray.mm.media import decode_image_features
+
+    return decode_image_features(_real_media_ds(sf_dir))
+
+
+def q_media_audio_decode(sf_dir: str):
+    """REAL PCM16 WAV decode; abs-sum and zero-crossings recomputed by the
+    oracle from the same splitmix64 sample stream."""
+    from parallel_louvain_method_ray.mm.media import decode_audio_features
+
+    return decode_audio_features(_real_media_ds(sf_dir))
+
+
+def q_media_video_frames(sf_dir: str):
+    """REAL frame sampling: RVID offset-table seek + PNG decode of every
+    3rd frame only."""
+    from parallel_louvain_method_ray.mm.media import decode_video_frame_features
+
+    return decode_video_frame_features(_real_media_ds(sf_dir), every_k=3)
+
+
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # --- splitmix64 in SQL (for the deterministic fake-media oracles) -------
@@ -952,6 +984,15 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # (splitmix64). 64-bit wraparound multiply is done HUGEINT-safely by hi/lo
 # split: a*c mod 2^64 = (((a>>32)*c mod 2^32) << 32 + (a & 0xffffffff)*c)
 # mod 2^64 — every intermediate fits in INT128.
+from parallel_louvain_method_ray.mm.media import (  # noqa: E402
+    IMG_PIX_SEED as _IMG_PIX_SEED,
+    AUD_SAMP_SEED as _AUD_SAMP_SEED,
+    VID_PIX_SEED as _VID_PIX_SEED,
+    VID_FRAME_STRIDE as _VID_FRAME_STRIDE,
+    VID_FRAME_W as _VID_FRAME_W,
+    VID_FRAME_H as _VID_FRAME_H,
+)
+
 _MIX_C0 = 11400714819323198485  # 0x9E3779B97F4A7C15
 _MIX_C1 = 13787848793156543929  # 0xBF58476D1CE4E5B9
 _MIX_C2 = 10723151780598845931  # 0x94D049BB133111EB
@@ -966,9 +1007,17 @@ def _mulmod_sql(col: str, c: int) -> str:
     )
 
 
-def _mix_ctes(seeds: dict[str, str], src: str) -> str:
+def _mix_ctes(
+    seeds: dict[str, str],
+    src: str,
+    prefix: str = "",
+    carry: tuple[str, ...] = (),
+) -> str:
     """CTE chain computing mix(<seed expr>) for each named column over
-    `src` (which must expose column i). Terminal CTE is `mixed`."""
+    `src` (which must expose column i). Terminal CTE is `{prefix}mixed`.
+    `prefix` lets two chains coexist in one query; `carry` names extra src
+    columns threaded through every stage (e.g. a per-row sample index)."""
+    keep = "i" + "".join(f", {c}" for c in carry)
     s0 = ", ".join(
         f"CAST((CAST({expr} AS HUGEINT) + {_MIX_C0}) % {_MIX_MOD} "
         f"AS UBIGINT) AS {name}"
@@ -979,13 +1028,14 @@ def _mix_ctes(seeds: dict[str, str], src: str) -> str:
     x2 = ", ".join(f"xor({n}, {n} >> 27) AS {n}" for n in seeds)
     m2 = ", ".join(f"{_mulmod_sql(n, _MIX_C2)} AS {n}" for n in seeds)
     fin = ", ".join(f"xor({n}, {n} >> 31) AS {n}" for n in seeds)
+    p = prefix
     return f"""
-            mix_s0 AS (SELECT i, {s0} FROM {src}),
-            mix_x1 AS (SELECT i, {x1} FROM mix_s0),
-            mix_m1 AS (SELECT i, {m1} FROM mix_x1),
-            mix_x2 AS (SELECT i, {x2} FROM mix_m1),
-            mix_m2 AS (SELECT i, {m2} FROM mix_x2),
-            mixed AS (SELECT i, {fin} FROM mix_m2)
+            {p}mix_s0 AS (SELECT {keep}, {s0} FROM {src}),
+            {p}mix_x1 AS (SELECT {keep}, {x1} FROM {p}mix_s0),
+            {p}mix_m1 AS (SELECT {keep}, {m1} FROM {p}mix_x1),
+            {p}mix_x2 AS (SELECT {keep}, {x2} FROM {p}mix_m1),
+            {p}mix_m2 AS (SELECT {keep}, {m2} FROM {p}mix_x2),
+            {p}mixed AS (SELECT {keep}, {fin} FROM {p}mix_m2)
     """
 
 
@@ -1156,6 +1206,99 @@ ORACLE_SQL.update(
                    CAST(1.0 AS DOUBLE) AS feature_sum
             FROM mixed
         """,
+        # REAL-decode oracles: the engine PNG/WAV/RVID-decodes genuine
+        # payloads (mm/codecs.py) and aggregates the DECODED pixels /
+        # samples; the SQL regenerates the same splitmix64 stream and
+        # aggregates directly — a codec bug breaks the hash compare.
+        "media_image_decode": f"""
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            {_mix_ctes(
+                {"ka": "i * 11 + 5", "wc": "i * 3 + 1", "hd": "i * 5 + 2"},
+                "ids",
+            )},
+            meta AS (
+                SELECT i, CAST(8 + wc % 9 AS INTEGER) AS w,
+                       CAST(8 + hd % 9 AS INTEGER) AS h
+                FROM mixed WHERE ka % 3 = 0
+            ),
+            px AS (
+                SELECT i, unnest(range(0, CAST(w AS BIGINT) * h)) AS p
+                FROM meta
+            ),
+            {_mix_ctes(
+                {"pv": f"i * {_IMG_PIX_SEED} + 7 + p"}, "px", prefix="p_"
+            )},
+            agg AS (
+                SELECT i,
+                       CAST(sum(pv & 255) AS BIGINT) AS px_sum,
+                       CAST(min(pv & 255) AS BIGINT) AS px_min,
+                       CAST(max(pv & 255) AS BIGINT) AS px_max
+                FROM p_mixed GROUP BY i
+            )
+            SELECT m.i AS media_id, m.w AS width, m.h AS height,
+                   a.px_sum, a.px_min, a.px_max
+            FROM meta m JOIN agg a ON m.i = a.i
+        """,
+        "media_audio_decode": f"""
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            {_mix_ctes({"ka": "i * 11 + 5", "fb": "i * 7 + 3"}, "ids")},
+            meta AS (
+                SELECT i, CAST(64 + fb % 193 AS BIGINT) AS n
+                FROM mixed WHERE ka % 3 = 1
+            ),
+            smp AS (SELECT i, n, unnest(range(0, n)) AS j FROM meta),
+            {_mix_ctes(
+                {
+                    "cur": f"i * {_AUD_SAMP_SEED} + j",
+                    "nxt": f"i * {_AUD_SAMP_SEED} + j + 1",
+                },
+                "smp",
+                prefix="s_",
+                carry=("n", "j"),
+            )},
+            vals AS (
+                SELECT i, n, j,
+                       CAST(cur % 65536 AS BIGINT) - 32768 AS s0,
+                       CAST(nxt % 65536 AS BIGINT) - 32768 AS s1
+                FROM s_mixed
+            )
+            SELECT i AS media_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(sum(abs(s0)) AS BIGINT) AS abs_sum,
+                   CAST(sum(CASE WHEN j < n - 1
+                                  AND ((s0 < 0) <> (s1 < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings
+            FROM vals GROUP BY i
+        """,
+        "media_video_frames": f"""
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            {_mix_ctes({"ka": "i * 11 + 5", "fb": "i * 7 + 3"}, "ids")},
+            meta AS (
+                SELECT i, CAST(2 + fb % 7 AS BIGINT) AS f
+                FROM mixed WHERE ka % 3 = 2
+            ),
+            fr AS (
+                SELECT i, unnest(range(0, f, 3)) AS frame_idx FROM meta
+            ),
+            px AS (
+                SELECT i, frame_idx,
+                       unnest(range(0, {_VID_FRAME_W * _VID_FRAME_H})) AS p
+                FROM fr
+            ),
+            {_mix_ctes(
+                {
+                    "pv": f"i * {_VID_PIX_SEED} "
+                    f"+ frame_idx * {_VID_FRAME_STRIDE} + p"
+                },
+                "px",
+                prefix="p_",
+                carry=("frame_idx",),
+            )}
+            SELECT i AS media_id, frame_idx,
+                   CAST(sum(pv & 255) AS BIGINT) AS frame_px_sum
+            FROM p_mixed GROUP BY i, frame_idx
+        """,
         "embedding_near_dups_exact": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -1322,6 +1465,9 @@ QUERIES.update(
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "media_image_decode": q_media_image_decode,
+        "media_audio_decode": q_media_audio_decode,
+        "media_video_frames": q_media_video_frames,
     }
 )
 
