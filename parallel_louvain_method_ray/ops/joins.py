@@ -1,0 +1,236 @@
+"""Custom join operators Ray Data lacks: as-of join and range join.
+
+Both follow the brief's guidance for operators missing from the Dataset
+API: express them as compositions of `map_batches` + `groupby().map_groups`
+(as-of) or a broadcast small-side lookup (range join) rather than raw Ray
+tasks.
+
+**As-of join** (`asof_join`): for every left row (key, t), attach the
+right row with the greatest right.t <= t for the same key (backward
+direction, ties broken by the largest `right_tie` value so results are
+deterministic). Plan shape: tag both sides, harmonize schemas (each side's
+payload columns are null on the other side), ONE hash shuffle
+(`groupby(key)`), then a vectorized `np.searchsorted` merge inside each
+group — no per-row Python in the match step. Partitioning assumption: a
+single `by`-key's rows fit in one group (same contract as any
+groupby().map_groups); salt hot keys upstream if a key is pathological.
+
+**Range join** (`range_join_broadcast`): classify left rows into
+non-overlapping [lo, hi) bands from a SMALL band table. The band edges are
+broadcast once (closure capture of a tiny sorted array — worker-cached,
+not re-shipped per batch) and matched with `np.searchsorted`; the big side
+streams. For a LARGE range table, pre-bucket both sides on a shared grid
+and fall back to a bucket-key equi-join — documented, not needed for the
+band cardinalities here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_SIDE_RIGHT = 0
+_SIDE_LEFT = 1
+
+
+def _as_int64(tbl: pa.Table, col: str) -> pa.ChunkedArray:
+    c = tbl.column(col)
+    if pa.types.is_timestamp(c.type):
+        return c.cast(pa.int64())
+    return c.cast(pa.int64())
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tie: str | None = None,
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Backward as-of join; see module docstring.
+
+    Output columns: `key` (the by-key), `t` (left_on as int64 epoch-us for
+    timestamps), every `left_cols`, and every `right_cols` (null when the
+    key has no right row at-or-before t; `how="inner"` drops those left
+    rows instead).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+    l_types = {c: l_schema[c] for c in left_cols}
+    r_types = {c: r_schema[c] for c in right_cols}
+
+    def norm_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "key": batch.column(left_by).cast(pa.int64()),
+            "t": _as_int64(batch, left_on),
+            "side": pa.array(np.full(n, _SIDE_LEFT, np.int8)),
+            "tie": pa.nulls(n, pa.int64()),
+        }
+        for c, typ in l_types.items():
+            cols[f"l_{c}"] = batch.column(c)
+        for c, typ in r_types.items():
+            cols[f"r_{c}"] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "key": batch.column(right_by).cast(pa.int64()),
+            "t": _as_int64(batch, right_on),
+            "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8)),
+            "tie": (
+                batch.column(right_tie).cast(pa.int64())
+                if right_tie
+                else pa.nulls(n, pa.int64())
+            ),
+        }
+        for c, typ in l_types.items():
+            cols[f"l_{c}"] = pa.nulls(n, typ)
+        for c, typ in r_types.items():
+            cols[f"r_{c}"] = batch.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(norm_left, batch_format="pyarrow").union(
+        right.map_batches(norm_right, batch_format="pyarrow")
+    )
+
+    out_names = (
+        ["key", "t"]
+        + [f"l_{c}" for c in l_types]
+        + [f"r_{c}" for c in r_types]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        lmask, rmask = side == _SIDE_LEFT, side == _SIDE_RIGHT
+        lt = group.filter(pa.array(lmask))
+        rt = group.filter(pa.array(rmask))
+        empty = pa.table(
+            {n: pa.nulls(0, group.schema.field(n).type) for n in out_names}
+        )
+        if lt.num_rows == 0:
+            return empty
+        if rt.num_rows == 0:
+            if how == "inner":
+                return empty
+            cols = {"key": lt.column("key"), "t": lt.column("t")}
+            for c in l_types:
+                cols[f"l_{c}"] = lt.column(f"l_{c}")
+            for c in r_types:
+                cols[f"r_{c}"] = pa.nulls(lt.num_rows, r_types[c])
+            return pa.table(cols)
+        r_t = rt.column("t").to_numpy(zero_copy_only=False)
+        r_tie = rt.column("tie").fill_null(0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((r_tie, r_t))  # sort by (t, tie) — ties -> max
+        r_sorted = r_t[order]
+        l_t = lt.column("t").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(r_sorted, l_t, side="right") - 1
+        null_mask = idx < 0
+        if how == "inner" and null_mask.any():
+            keep = pa.array(~null_mask)
+            lt = lt.filter(keep)
+            idx = idx[~null_mask]
+            null_mask = np.zeros(idx.shape[0], dtype=bool)
+        cols = {"key": lt.column("key"), "t": lt.column("t")}
+        for c in l_types:
+            cols[f"l_{c}"] = lt.column(f"l_{c}")
+        take_idx = pa.array(
+            order[np.clip(idx, 0, None)].astype(np.int64), mask=null_mask
+        )
+        for c in r_types:
+            cols[f"r_{c}"] = pc.take(rt.column(f"r_{c}"), take_idx)
+        return pa.table(cols)
+
+    return tagged.groupby("key").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join_broadcast(
+    left: ray.data.Dataset,
+    bands: list[tuple[str, float, float]],
+    *,
+    value_col: str,
+    keep_cols: list[str],
+    band_col: str = "band",
+) -> ray.data.Dataset:
+    """Join left rows to the band whose [lo, hi) contains `value_col`.
+
+    `bands` must be non-overlapping and sorted by lo; rows outside every
+    band are dropped (inner-join semantics, matching the SQL inequality
+    join oracle)."""
+    names = [b[0] for b in bands]
+    los = np.array([b[1] for b in bands], dtype=np.float64)
+    his = np.array([b[2] for b in bands], dtype=np.float64)
+    if not (np.all(np.diff(los) > 0) and np.all(his[:-1] <= los[1:])):
+        raise ValueError("bands must be sorted and non-overlapping")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        ok = (idx >= 0) & (v < his[np.clip(idx, 0, None)])
+        sel = np.flatnonzero(ok)
+        out = {c: batch.column(c).take(pa.array(sel)) for c in keep_cols}
+        out[band_col] = pa.array(
+            np.array(names, dtype=object)[idx[sel]].tolist(), pa.string()
+        )
+        return pa.table(out)
+
+    return left.map_batches(classify, batch_format="pyarrow")
+
+
+def tumbling_window(
+    events: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_us: int,
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (key, window_start) -> count + sum(value).
+
+    Pre-aggregation happens inside the partial combine of Ray's groupby
+    (hash shuffle on (key, bucket)); the bucket assignment itself is a
+    streaming vectorized map."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = _as_int64(batch, ts_col).to_numpy(zero_copy_only=False)
+        start = (ts // window_us) * window_us
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start": pa.array(start, pa.int64()),
+                value_col: batch.column(value_col),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        events.map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Count(), Sum(value_col))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start": batch.column("window_start"),
+                "n_events": batch.column("count()").cast(pa.int64()),
+                "sum_value": pc.round(
+                    batch.column(f"sum({value_col})"), ndigits=6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

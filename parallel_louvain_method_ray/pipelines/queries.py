@@ -1575,10 +1575,131 @@ ORACLE_SQL.update(
     }
 )
 
+def q_events_orders_asof(sf_dir: str):
+    """As-of join (custom operator — Ray Data has no native one): each
+    event picks the user's latest order at-or-before the event timestamp.
+    One hash shuffle + vectorized searchsorted merge (ops/joins.py)."""
+    from parallel_louvain_method_ray.ops.joins import asof_join
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts"]
+    )
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_by="user_id",
+        right_by="o_custkey",
+        left_on="ts",
+        right_on="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        right_tie="o_orderkey",
+        how="inner",  # null-free output: the driver hash treats NaN != NaN
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("l_event_id"),
+                "user_id": b.column("key"),
+                "event_ts": b.column("t"),
+                "last_orderkey": b.column("r_o_orderkey"),
+                "last_totalprice": b.column("r_o_totalprice"),
+                "last_order_ts": b.column("r_o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+_PRICE_BANDS = [
+    ("cheap", 0.0, 900.0),
+    ("mid", 900.0, 1100.0),
+    ("premium", 1100.0, 1500.0),
+    ("luxury", 1500.0, 1e9),
+]
+
+
+def q_part_price_bands(sf_dir: str):
+    """Range join (custom operator): parts classified into [lo, hi) price
+    bands; tiny band table broadcast, big side streams (ops/joins.py)."""
+    from parallel_louvain_method_ray.ops.joins import range_join_broadcast
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    return range_join_broadcast(
+        part,
+        _PRICE_BANDS,
+        value_col="p_retailprice",
+        keep_cols=["p_partkey", "p_retailprice"],
+    )
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event type (windowed operator
+    distinct from gap sessionization): bucketize streams, partial combine
+    inside the groupby shuffle."""
+    from parallel_louvain_method_ray.ops.joins import tumbling_window
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return tumbling_window(
+        ev,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        window_us=3_600_000_000,
+    )
+
+
+ORACLE_SQL.update(
+    {
+        "events_orders_asof": """
+            WITH cand AS (
+                SELECT e.event_id, e.user_id, epoch_us(e.ts) AS event_ts,
+                       o.o_orderkey, o.o_totalprice,
+                       epoch_us(o.o_orderdate) AS order_ts,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, event_ts,
+                   o_orderkey AS last_orderkey,
+                   o_totalprice AS last_totalprice,
+                   order_ts AS last_order_ts
+            FROM cand WHERE rn = 1
+        """,
+        "part_price_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('cheap', 0.0, 900.0), ('mid', 900.0, 1100.0),
+                ('premium', 1100.0, 1500.0), ('luxury', 1500.0, 1e9))
+            SELECT p.p_partkey, p.p_retailprice, b.band
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        """,
+        "events_tumbling": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000
+                       AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }
+)
+
 QUERIES.update(
     {
         "customer_nation_join": q_customer_nation_join,
         "sessionize": q_sessionize,
+        "events_orders_asof": q_events_orders_asof,
+        "part_price_bands": q_part_price_bands,
+        "events_tumbling": q_events_tumbling,
     }
 )
 
