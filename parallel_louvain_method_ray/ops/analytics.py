@@ -1,0 +1,182 @@
+"""Distributed analytics operators: exact quantiles, group-wise top-k,
+anti/semi join, deterministic sampling.
+
+Each is expressed Ray-Data-first and sized for the 100 TB regime:
+
+- **Exact quantiles** (`exact_quantiles`): two-phase bounded-histogram
+  method — a distributed `groupby(value).count()` collapses the data to
+  one row per DISTINCT value (safe whenever the value domain is bounded,
+  e.g. document lengths, token counts, scores bucketed to fixed
+  precision), then the tiny histogram's cumulative counts yield exact
+  `percentile_disc` quantiles. No global sort, one shuffle whose output
+  is O(distinct values), driver holds only the histogram. For unbounded
+  domains, bucket first (round/clip) — the caller owns that contract.
+- **Group-wise top-k** (`topk_per_group`): per-batch LOCAL top-k prune
+  (only k rows per group survive each batch) -> groupby(key).map_groups
+  final top-k. The pre-prune bounds the shuffle to O(k * groups *
+  blocks) rows instead of the whole table — the same partial-combine
+  trick as pre-aggregation before a groupby.
+- **Anti/semi join** (`broadcast_anti_join` / `broadcast_semi_join`):
+  the filter side is collapsed to DISTINCT keys by a distributed
+  aggregate first; the distinct-key array is broadcast once via
+  `ray.put` and each batch filters with a vectorized `np.isin`. Correct
+  while the DISTINCT key count fits a worker heap (dimension-table
+  scale); for fact-vs-fact anti joins swap in a shuffle join on the key.
+- **Deterministic sampling** (`hash_sample`): keep rows where
+  md5(key) % denom < num — reproducible across runs/engines (the SQL
+  oracle recomputes the same predicate), streaming, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+) -> pa.Table:
+    """Exact percentile_disc quantiles via a distributed value histogram.
+
+    Returns a small pa.Table (q, value) — a driver-side result, like any
+    aggregate. percentile_disc semantics: the smallest value whose
+    cumulative row count reaches ceil(q * n)."""
+    hist = ds.groupby(value_col).count().to_pandas()
+    hist = hist.sort_values(value_col, ignore_index=True)
+    counts = hist["count()"].to_numpy()
+    values = hist[value_col].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = max(1, int(np.ceil(q * n)))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(values[idx])
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v)}
+    )
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    score_col: str,
+    k: int,
+    tie_col: str,
+) -> ray.data.Dataset:
+    """Top-k rows per group by (score DESC, tie ASC) — deterministic.
+
+    Local per-batch prune first so the groupby shuffle moves at most
+    k rows per (group, block)."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[
+                (key_col, "ascending"),
+                (score_col, "descending"),
+                (tie_col, "ascending"),
+            ],
+        )
+        t = batch.take(order)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        # rank within key run: position - start of run
+        new_run = np.ones(len(keys), dtype=bool)
+        new_run[1:] = keys[1:] != keys[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(len(keys)), 0)
+        )
+        rank = np.arange(len(keys)) - run_start
+        return t.filter(pa.array(rank < k))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(score_col, "descending"), (tie_col, "ascending")],
+        )
+        return group.take(order[: min(k, group.num_rows)])
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby(key_col).map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+
+
+def _distinct_keys(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    """Distributed distinct (groupby count, discards counts) -> driver
+    array. O(distinct) driver state — dimension-table contract."""
+    t = ds.groupby(col).count().to_pandas()
+    return t[col].to_numpy()
+
+
+def broadcast_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+) -> ray.data.Dataset:
+    """left rows whose key EXISTS in right (no right columns attached)."""
+    keys_ref = ray.put(np.unique(_distinct_keys(right, right_key)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)  # worker-local plasma read, zero-copy
+        v = batch.column(left_key).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(v, keys)))
+
+    return left.map_batches(keep, batch_format="pyarrow")
+
+
+def broadcast_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+) -> ray.data.Dataset:
+    """left rows whose key does NOT exist in right."""
+    keys_ref = ray.put(np.unique(_distinct_keys(right, right_key)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        v = batch.column(left_key).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(v, keys)))
+
+    return left.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    num: int,
+    denom: int = 100,
+) -> ray.data.Dataset:
+    """Deterministic ~num/denom sample: md5_lower64(key) % denom < num.
+
+    Engine-independent (the DuckDB oracle recomputes the identical
+    predicate via `md5_number_lower`) and stable across runs — what a
+    resumable 100 TB pipeline needs from its sampler. Streaming map, no
+    shuffle, no RNG state."""
+    from parallel_louvain_method_ray.dedup.minhash import md5_lower64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(key_col).to_numpy(zero_copy_only=False)
+        sel = np.fromiter(
+            (md5_lower64(str(int(x))) % denom < num for x in v),
+            dtype=bool,
+            count=len(v),
+        )
+        return batch.filter(pa.array(sel))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1654,6 +1654,134 @@ def q_events_tumbling(sf_dir: str):
     )
 
 
+_DOC_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles via the bounded-histogram method
+    (ops/analytics.py): one groupby shuffle whose output is O(distinct
+    lengths); no global sort, driver holds only the tiny histogram."""
+    from parallel_louvain_method_ray.ops.analytics import exact_quantiles
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_chars": pc.utf8_length(b.column("text")).cast(pa.int64())}
+        )
+
+    ds = docs.map_batches(lengths, batch_format="pyarrow")
+    return exact_quantiles(ds, "n_chars", _DOC_QS)
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Group-wise top-k (window operator): 3 priciest orders per customer,
+    local per-batch prune bounds the shuffle (ops/analytics.py)."""
+    from parallel_louvain_method_ray.ops.analytics import topk_per_group
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    return topk_per_group(
+        orders, key_col="o_custkey", score_col="o_totalprice", k=3,
+        tie_col="o_orderkey",
+    )
+
+
+def q_customers_without_events(sf_dir: str):
+    """Anti join: broadcast the DISTINCT event user ids once, filter
+    streams (ops/analytics.py). (customer x events, not x orders: every
+    customer has orders in this data, and an always-empty oracle result
+    checks nothing.)"""
+    from parallel_louvain_method_ray.ops.analytics import broadcast_anti_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    events = read_table(sf_dir, "events", columns=["user_id"])
+    return broadcast_anti_join(
+        cust, events, left_key="c_custkey", right_key="user_id"
+    )
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi join (same broadcast-distinct-keys shape)."""
+    from parallel_louvain_method_ray.ops.analytics import broadcast_semi_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return broadcast_semi_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey"
+    )
+
+
+def q_doc_sample_10pct(sf_dir: str):
+    """Deterministic 10% sample: md5_lower64(doc_id) % 100 < 10 — the
+    reproducible sampler a resumable pipeline needs; the oracle recomputes
+    the identical predicate with DuckDB's md5_number_lower."""
+    from parallel_louvain_method_ray.ops.analytics import hash_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sampled = hash_sample(docs, "doc_id", num=10, denom=100)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
+_DOC_QUANTILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(length(text), {q}) AS value FROM documents"
+    for q in _DOC_QS
+)
+
+ORACLE_SQL.update(
+    {
+        "doc_length_quantiles": _DOC_QUANTILE_SQL,
+        "top_orders_per_customer": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM ranked WHERE rn <= 3
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "doc_sample_10pct": """
+            SELECT doc_id, length(text) AS n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_events": q_customers_without_events,
+        "customers_with_orders": q_customers_with_orders,
+        "doc_sample_10pct": q_doc_sample_10pct,
+    }
+)
+
+
 ORACLE_SQL.update(
     {
         "events_orders_asof": """

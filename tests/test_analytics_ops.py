@@ -1,0 +1,111 @@
+"""Analytics operators (ops/analytics.py): exact quantiles, group top-k,
+anti/semi join, deterministic hash sampling. SQL-oracle parity runs in
+test_queries_oracle.py / driver_sim; these pin semantics on fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from parallel_louvain_method_ray.ops.analytics import (
+    broadcast_anti_join,
+    broadcast_semi_join,
+    exact_quantiles,
+    hash_sample,
+    topk_per_group,
+)
+
+
+def _collect(ds):
+    return pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    ).to_pandas()
+
+
+def test_exact_quantiles_matches_percentile_disc():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, size=1000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(7)
+    out = exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0]).to_pandas()
+    s = np.sort(vals)
+    for q, v in zip(out.q, out.value):
+        rank = max(1, int(np.ceil(q * len(s))))
+        assert v == s[rank - 1], (q, v, s[rank - 1])
+
+
+def test_exact_quantiles_duckdb_parity():
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 30, size=333).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(5)
+    out = exact_quantiles(ds, "v", [0.25, 0.5, 0.75, 0.99]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": vals}))
+    for q, v in zip(out.q, out.value):
+        (want,) = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t"
+        ).fetchone()
+        assert v == want, (q, v, want)
+
+
+def test_topk_per_group_rank_and_ties():
+    # key 1 has 5 rows incl. a score tie (ids 12 vs 13 -> lower id wins)
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 1, 2, 3], pa.int64()),
+            "score": pa.array([5.0, 9.0, 7.0, 9.0, 1.0, 4.0, 2.0]),
+            "id": pa.array([10, 13, 11, 12, 14, 20, 30], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = _collect(
+        topk_per_group(ds, key_col="k", score_col="score", k=2, tie_col="id")
+    )
+    got = {
+        k: sorted(zip(g.score, g.id)) for k, g in out.groupby("k")
+    }
+    assert got[1] == [(9.0, 12), (9.0, 13)]  # both 9.0s beat 7.0
+    assert got[2] == [(4.0, 20)]
+    assert got[3] == [(2.0, 30)]
+
+
+def test_semi_and_anti_join_partition():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4, 9], pa.int64())})
+    )
+    semi = _collect(
+        broadcast_semi_join(left, right, left_key="k", right_key="rk")
+    )
+    anti = _collect(
+        broadcast_anti_join(left, right, left_key="k", right_key="rk")
+    )
+    assert sorted(semi.k.tolist()) == [2, 4]
+    assert sorted(anti.k.tolist()) == [1, 3, 5]
+    # semi + anti partition the left exactly
+    assert sorted(semi.k.tolist() + anti.k.tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_hash_sample_deterministic_and_duckdb_parity():
+    import duckdb
+
+    ids = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+    ds = ray.data.from_arrow(ids).repartition(4)
+    a = sorted(_collect(hash_sample(ds, "doc_id", num=10)).doc_id.tolist())
+    b = sorted(_collect(hash_sample(ds, "doc_id", num=10)).doc_id.tolist())
+    assert a == b  # no RNG state, stable across runs
+    assert 20 <= len(a) <= 90  # ~10% of 500
+
+    con = duckdb.connect()
+    con.register("t", ids)
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM t "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10 "
+            "ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert a == want
