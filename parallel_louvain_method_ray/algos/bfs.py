@@ -1,0 +1,104 @@
+"""Multi-source BFS hop distances over CSR shards.
+
+Same BSP shape as connected components (algos/components.py, reference
+parity note there): each global round is one shuffle-free map_batches pass
+over the shards; inside a shard the kernel relaxes `dist[v] =
+min(dist[v], min_u dist[u] + 1)` to a LOCAL fixpoint with
+`np.minimum.reduceat` before emitting changes, so the number of global
+rounds is roughly the number of cross-partition hops, not the graph
+diameter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from parallel_louvain_method_ray.graph.build import GraphHandle
+from parallel_louvain_method_ray.graph.csr import unpack_shards
+
+
+def bfs_distances(
+    graph: GraphHandle,
+    seeds: np.ndarray,
+    max_rounds: int = 200,
+) -> tuple[np.ndarray, dict]:
+    """Hop distance from the nearest seed (symmetrized graph).
+
+    Returns (dist int64[n], metrics); unreachable vertices keep
+    dist == n (the INF sentinel — strictly larger than any real hop
+    count)."""
+    n = graph.n
+    inf = np.int64(n)
+    dist = np.full(n, inf, dtype=np.int64)
+    dist[np.asarray(seeds, dtype=np.int64)] = 0
+    rounds = 0
+    while rounds < max_rounds:
+        dist_ref = ray.put(dist)
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            out_v, out_d = [], []
+            for shard in unpack_shards(batch):
+                d = np.array(ray.get(dist_ref))  # fresh copy per shard
+                ip = shard.indptr
+                while True:
+                    row_min = (
+                        np.minimum.reduceat(d[shard.cols], ip[:-1]) + 1
+                    )
+                    cur = d[shard.vids]
+                    better = row_min < cur
+                    if not better.any():
+                        break
+                    d[shard.vids[better]] = row_min[better]
+                snap = ray.get(dist_ref)
+                ch = d[shard.vids] != snap[shard.vids]
+                out_v.append(shard.vids[ch])
+                out_d.append(d[shard.vids[ch]])
+            return pa.table(
+                {
+                    "vid": np.concatenate(out_v)
+                    if out_v
+                    else np.empty(0, np.int64),
+                    "dist": np.concatenate(out_d)
+                    if out_d
+                    else np.empty(0, np.int64),
+                }
+            )
+
+        changed = 0
+        for b in graph.shards.map_batches(
+            kernel, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            vid = t.column("vid").to_numpy(zero_copy_only=False)
+            d = t.column("dist").to_numpy(zero_copy_only=False)
+            if vid.shape[0]:
+                np.minimum.at(dist, vid, d)
+                changed += vid.shape[0]
+        rounds += 1
+        if changed == 0:
+            break
+    return dist, {"rounds": rounds}
+
+
+def bfs_oracle(
+    src: np.ndarray, dst: np.ndarray, n: int, seeds: np.ndarray
+) -> np.ndarray:
+    """Sequential BFS oracle (tests only). dist == n for unreachable."""
+    from collections import deque
+
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj[u].append(v)
+    dist = np.full(n, n, dtype=np.int64)
+    q = deque()
+    for s in np.asarray(seeds, dtype=np.int64).tolist():
+        dist[s] = 0
+        q.append(s)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if dist[v] > dist[u] + 1:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist

@@ -131,6 +131,19 @@ def q_connected_components(sf_dir: str):
     return _t(vid=raw, label=raw[labels])
 
 
+def q_bfs_distances(sf_dir: str):
+    """Multi-source BFS hop distance (seeds: raw vid % 37 == 0); same
+    shuffle-free BSP shape as connected components. Oracle: recursive CTE
+    capped at 127 hops (way above this graph's diameter)."""
+    from parallel_louvain_method_ray.algos.bfs import bfs_distances
+
+    graph, raw = _graph_for(sf_dir)
+    seeds = np.flatnonzero((raw % 37) == 0)
+    dist, _ = bfs_distances(graph, seeds)
+    reached = dist < graph.n
+    return _t(vid=raw[reached], dist=dist[reached])
+
+
 def q_pagerank5(sf_dir: str):
     graph, raw = _graph_for(sf_dir)
     ranks, _ = pagerank(graph, tol=0.0, max_iter=5)
@@ -574,6 +587,20 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT v AS vid, min(lab) AS label FROM reach GROUP BY v
     """,
+    "bfs_distances": f"""
+        WITH RECURSIVE {SYM_CTES},
+        verts AS (SELECT DISTINCT src AS v FROM sym),
+        seeds AS (SELECT v FROM verts WHERE v % 37 = 0),
+        walk(v, d) AS (
+            SELECT v, 0 FROM seeds
+            UNION
+            SELECT s.dst, w.d + 1
+            FROM walk w JOIN sym s ON s.src = w.v
+            WHERE w.d < 127
+        )
+        SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist
+        FROM walk GROUP BY v
+    """,
     "pagerank5": _pagerank5_sql(),
     "lpa_one_sweep": f"""
         WITH {SYM_CTES},
@@ -675,6 +702,7 @@ QUERIES = {
     "triangles_total": q_triangles_total,
     "triangles_per_vertex": q_triangles_per_vertex,
     "connected_components": q_connected_components,
+    "bfs_distances": q_bfs_distances,
     "pagerank5": q_pagerank5,
     "lpa_one_sweep": q_lpa_one_sweep,
     "modularity_singleton": q_modularity_singleton,

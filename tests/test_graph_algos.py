@@ -158,3 +158,49 @@ def test_triangles_join_path_matches_broadcast():
     pv_j, tot_j = triangle_counts(g, method="join")
     np.testing.assert_array_equal(pv_b, pv_j)
     assert tot_b == tot_j
+
+
+# ---------------------------------------------------------- bfs
+def test_bfs_path_graph_multi_round():
+    from parallel_louvain_method_ray.algos.bfs import bfs_distances
+
+    n = 24  # path 0-1-2-...-23, seed at 0: dist == vid
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    g = graph_from_entry_arrays(
+        src, dst, np.ones(n - 1), EngineConfig(num_partitions=3), n_vertices=n
+    )
+    dist, meta = bfs_distances(g, np.array([0]))
+    np.testing.assert_array_equal(dist, np.arange(n))
+    assert meta["rounds"] >= 2  # crosses partitions, not a 1-round toy
+
+
+def test_bfs_multi_source_random_vs_oracle():
+    from parallel_louvain_method_ray.algos.bfs import bfs_distances, bfs_oracle
+
+    src, dst, w = random_graph(60, 4, seed=11)
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=4), n_vertices=60
+    )
+    seeds = np.array([0, 17, 41])
+    dist, _ = bfs_distances(g, seeds)
+    # oracle walks the symmetrized edge set like the engine
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    want = bfs_oracle(s2, d2, 60, seeds)
+    np.testing.assert_array_equal(dist, want)
+
+
+def test_bfs_unreachable_keeps_inf_sentinel():
+    from parallel_louvain_method_ray.algos.bfs import bfs_distances
+
+    # two components: {0,1}, {2,3}; seed only in the first
+    g = graph_from_entry_arrays(
+        np.array([0, 2], dtype=np.int64),
+        np.array([1, 3], dtype=np.int64),
+        np.ones(2),
+        EngineConfig(num_partitions=2),
+        n_vertices=4,
+    )
+    dist, _ = bfs_distances(g, np.array([0]))
+    np.testing.assert_array_equal(dist, [0, 1, 4, 4])

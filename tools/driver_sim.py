@@ -33,9 +33,11 @@ def _to_pandas(res):
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        res = pa.concat_tables(
-            [pa.table(b) for b in res.iter_batches(batch_format="pyarrow")]
-        )
+        tabs = [pa.table(b) for b in res.iter_batches(batch_format="pyarrow")]
+        if tabs:
+            res = pa.concat_tables(tabs)
+        else:  # zero-batch dataset: build an empty table from the schema
+            res = pa.Table.from_pylist([], schema=res.schema().base_schema)
     if isinstance(res, pa.Table):
         res = res.to_pandas()
     assert isinstance(res, pd.DataFrame)
