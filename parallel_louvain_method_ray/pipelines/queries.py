@@ -1682,6 +1682,39 @@ def q_events_tumbling(sf_dir: str):
     )
 
 
+def q_web_link_edges(sf_dir: str):
+    """End-to-end oracle for the flagship's FRONT HALF: synthesize the
+    deterministic pages table, REALLY parse the HTML (actor-pool regex
+    extract), resolve hrefs, aggregate the (src, dst) anchor multiset —
+    then compare against a pure-SQL regeneration of the link generator
+    (web/pages.py:page_links reproduced with splitmix64 CTEs). A broken
+    HTML parser, href resolver, or edge aggregation breaks the hash."""
+    from parallel_louvain_method_ray.pipelines.web_graph import (
+        pages_from_documents,
+    )
+    from parallel_louvain_method_ray.web.extract import (
+        extract_pages,
+        links_to_edges,
+    )
+
+    pages = pages_from_documents(sf_dir)
+    edges = links_to_edges(extract_pages(pages))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        # page urls embed the page id as the trailing digit run
+        src = pc.replace_substring_regex(
+            b.column("src_url"), r"^.*/", ""
+        ).cast(pa.int64())
+        dst = pc.replace_substring_regex(
+            b.column("dst_url"), r"^.*/", ""
+        ).cast(pa.int64())
+        return pa.table(
+            {"src": src, "dst": dst, "n_anchors": b.column("n_anchors")}
+        )
+
+    return edges.map_batches(to_ids, batch_format="pyarrow")
+
+
 _DOC_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1769,6 +1802,52 @@ _DOC_QUANTILE_SQL = "\nUNION ALL\n".join(
 
 ORACLE_SQL.update(
     {
+        # web/pages.py:page_links reproduced in SQL (defaults: n_domains=50,
+        # intra_links=6, n_hub_pages=3, hub_prob_pct=30, inter_links=1)
+        "web_link_edges": f"""
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            const AS (
+                SELECT count(*) AS n,
+                       greatest(1, CAST(ceil(count(*) / 50.0) AS BIGINT))
+                           AS ppd
+                FROM documents
+            ),
+            ik AS (SELECT i, unnest(range(0, 6)) AS k FROM ids),
+            {_mix_ctes(
+                {"jv": "i * 1000003 + k"}, "ik", prefix="a_", carry=("k",)
+            )},
+            intra AS (
+                SELECT m.i,
+                       (m.i // c.ppd) * c.ppd
+                       + CAST(m.jv % CAST(least(
+                             c.ppd, c.n - (m.i // c.ppd) * c.ppd
+                         ) AS UBIGINT) AS BIGINT) AS j
+                FROM a_mixed m, const c
+                WHERE least(c.ppd, c.n - (m.i // c.ppd) * c.ppd) >= 2
+            ),
+            {_mix_ctes(
+                {"hp": "i * 7777777 + 13", "hj": "i * 31 + 7"},
+                "ids",
+                prefix="h_",
+            )},
+            hub AS (
+                SELECT i, CAST(hj % 3 AS BIGINT) AS j FROM h_mixed
+                WHERE i >= 3 AND hp % 100 < 30
+            ),
+            {_mix_ctes({"ev": "i * 15485863 + 101"}, "ids", prefix="e_")},
+            inter AS (
+                SELECT m.i,
+                       CAST(m.ev % CAST(c.n AS UBIGINT) AS BIGINT) AS j
+                FROM e_mixed m, const c
+            ),
+            lnk AS (
+                SELECT i, j FROM intra WHERE j <> i
+                UNION ALL SELECT i, j FROM hub
+                UNION ALL SELECT i, j FROM inter WHERE j <> i
+            )
+            SELECT i AS src, j AS dst, count(*) AS n_anchors
+            FROM lnk GROUP BY i, j
+        """,
         "doc_length_quantiles": _DOC_QUANTILE_SQL,
         "top_orders_per_customer": """
             WITH ranked AS (
@@ -1801,6 +1880,7 @@ ORACLE_SQL.update(
 
 QUERIES.update(
     {
+        "web_link_edges": q_web_link_edges,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_events": q_customers_without_events,
