@@ -1715,6 +1715,52 @@ def q_web_link_edges(sf_dir: str):
     return edges.map_batches(to_ids, batch_format="pyarrow")
 
 
+def q_domain_link_graph(sf_dir: str):
+    """Graph contraction along the URL hierarchy: the page-level link
+    multiset aggregated to a (src_domain, dst_domain, weight) edge table —
+    the interdomain graph a web-scale pipeline feeds back into Louvain.
+    Domain ids parse from the fixed-width host (`dNNNN.example.com`)."""
+    edges = q_web_link_edges(sf_dir)
+
+    def to_domains(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_dom": b.column("src_dom"),
+                "dst_dom": b.column("dst_dom"),
+                "weight": b.column("sum(n_anchors)").cast(pa.int64()),
+            }
+        )
+
+    # reuse the id-level edges; domain = clamped i // ppd, identical to the
+    # url host digits (web/pages.py:page_url)
+    from parallel_louvain_method_ray.sources.tpch import read_table as _rt
+
+    n = _rt(sf_dir, "documents", columns=["doc_id"]).count()
+    ppd = max(1, -(-n // 50))
+
+    def doms(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src_dom": pa.array(
+                    np.minimum(src // ppd, 49).astype(np.int64)
+                ),
+                "dst_dom": pa.array(
+                    np.minimum(dst // ppd, 49).astype(np.int64)
+                ),
+                "n_anchors": b.column("n_anchors"),
+            }
+        )
+
+    return (
+        edges.map_batches(doms, batch_format="pyarrow")
+        .groupby(["src_dom", "dst_dom"])
+        .sum("n_anchors")
+        .map_batches(to_domains, batch_format="pyarrow")
+    )
+
+
 _DOC_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1800,12 +1846,10 @@ _DOC_QUANTILE_SQL = "\nUNION ALL\n".join(
     for q in _DOC_QS
 )
 
-ORACLE_SQL.update(
-    {
-        # web/pages.py:page_links reproduced in SQL (defaults: n_domains=50,
-        # intra_links=6, n_hub_pages=3, hub_prob_pct=30, inter_links=1)
-        "web_link_edges": f"""
-            WITH ids AS (SELECT doc_id AS i FROM documents),
+# web/pages.py:page_links reproduced in SQL (defaults: n_domains=50,
+# intra_links=6, n_hub_pages=3, hub_prob_pct=30, inter_links=1); terminal
+# CTE `lnk` is the (i, j) link multiset
+_WEB_LNK_CTES = f"""ids AS (SELECT doc_id AS i FROM documents),
             const AS (
                 SELECT count(*) AS n,
                        greatest(1, CAST(ceil(count(*) / 50.0) AS BIGINT))
@@ -1844,9 +1888,21 @@ ORACLE_SQL.update(
                 SELECT i, j FROM intra WHERE j <> i
                 UNION ALL SELECT i, j FROM hub
                 UNION ALL SELECT i, j FROM inter WHERE j <> i
-            )
+            )"""
+
+ORACLE_SQL.update(
+    {
+        "web_link_edges": f"""
+            WITH {_WEB_LNK_CTES}
             SELECT i AS src, j AS dst, count(*) AS n_anchors
             FROM lnk GROUP BY i, j
+        """,
+        "domain_link_graph": f"""
+            WITH {_WEB_LNK_CTES}
+            SELECT least(i // c.ppd, 49) AS src_dom,
+                   least(j // c.ppd, 49) AS dst_dom,
+                   count(*) AS weight
+            FROM lnk, const c GROUP BY 1, 2
         """,
         "doc_length_quantiles": _DOC_QUANTILE_SQL,
         "top_orders_per_customer": """
@@ -1881,6 +1937,7 @@ ORACLE_SQL.update(
 QUERIES.update(
     {
         "web_link_edges": q_web_link_edges,
+        "domain_link_graph": q_domain_link_graph,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_events": q_customers_without_events,
