@@ -946,6 +946,85 @@ def connected_components_joined(
     return labels, {"rounds": rounds, "jumps": jumps}
 
 
+def bfs_joined(
+    jg: JoinedGraph,
+    seeds,
+    max_rounds: int = 200,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Multi-source BFS, distances as a Dataset (vid, dist); exact.
+
+    Same min-plus loop as `connected_components_joined` with the
+    relaxation `dist(v) <- min(dist(v), min_u dist(u) + 1)`; rounds =
+    graph eccentricity from the seed set (no local fixpoint like the
+    broadcast engine, so high-diameter graphs prefer `algos/bfs.py`
+    below `max_broadcast_vertices`). Unreachable vertices keep the INF
+    sentinel dist == n."""
+    import numpy as np
+
+    P = _jg_P(jg, partitions)
+    inf = jg.n
+    seeds_ref = ray.put(np.asarray(seeds, dtype=np.int64))
+
+    def init(b: pa.Table) -> pa.Table:
+        vid = b.column("id").to_numpy(zero_copy_only=False)
+        s = ray.get(seeds_ref)
+        d = np.where(np.isin(vid, s), 0, inf).astype(np.int64)
+        return pa.table({"vid": b.column("id"), "dist": pa.array(d)})
+
+    dist = _tight(
+        ray.data.range(jg.n, override_num_blocks=P).map_batches(
+            init, batch_format="pyarrow"
+        ),
+        P,
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        nbr_min = (
+            _join(
+                jg.edges,
+                _rename(dist, ["vid", "dst_dist"]),
+                on=("dst",),
+                right_on=("vid",),
+                P=P,
+            )
+            .groupby("src")
+            .min("dst_dist")
+        )
+        nbr_min = _rename(nbr_min, ["vid", "nbr_min"])
+        merged = _tight(
+            _join(dist, nbr_min, on=("vid",), how="left_outer", P=P).map_batches(
+                lambda b: pa.table(
+                    {
+                        "vid": b.column("vid"),
+                        "dist": pc.min_element_wise(
+                            b.column("dist"),
+                            pc.coalesce(
+                                pc.add(b.column("nbr_min"), 1),
+                                b.column("dist"),
+                            ),
+                        ),
+                        "changed": pc.less(
+                            pc.coalesce(
+                                pc.add(b.column("nbr_min"), 1),
+                                b.column("dist"),
+                            ),
+                            b.column("dist"),
+                        ).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            P,
+        )
+        changed = int(_scalar_sum(merged, "changed"))
+        dist = _select(merged, ["vid", "dist"])  # lazy, stays tight
+        rounds += 1
+        if changed == 0:
+            break
+    return dist, {"rounds": rounds}
+
+
 def lpa_sweep_joined(
     jg: JoinedGraph,
     labels: ray.data.Dataset,

@@ -354,6 +354,21 @@ def q_cc_joined(sf_dir: str):
     return _t(vid=raw, label=raw[lab])
 
 
+def q_bfs_joined(sf_dir: str):
+    """Join-path BFS (all state in Datasets — the 10^12-vertex fallback);
+    same seeds and oracle as `bfs_distances`."""
+    from parallel_louvain_method_ray.algos.joined import _collect, bfs_joined
+
+    _, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    seeds = np.flatnonzero((raw % 37) == 0)
+    dist_ds, _ = bfs_joined(jg, seeds)
+    t = _collect(dist_ds.sort("vid"))
+    dist = t.column("dist").to_numpy(zero_copy_only=False)
+    reached = dist < jg.n
+    return _t(vid=raw[reached], dist=dist[reached])
+
+
 def q_lpa_one_sweep_joined(sf_dir: str):
     from parallel_louvain_method_ray.algos.joined import (
         _collect,
@@ -686,6 +701,7 @@ ORACLE_SQL: dict[str, str] = {
 
 ORACLE_SQL["pagerank5_joined"] = ORACLE_SQL["pagerank5"]
 ORACLE_SQL["cc_joined"] = ORACLE_SQL["connected_components"]
+ORACLE_SQL["bfs_joined"] = ORACLE_SQL["bfs_distances"]
 ORACLE_SQL["lpa_one_sweep_joined"] = ORACLE_SQL["lpa_one_sweep"]
 
 
@@ -693,6 +709,7 @@ QUERIES = {
     "edges_supplier_cograph": q_edges,
     "pagerank5_joined": q_pagerank5_joined,
     "cc_joined": q_cc_joined,
+    "bfs_joined": q_bfs_joined,
     "lpa_one_sweep_joined": q_lpa_one_sweep_joined,
     "louvain_first_sweep_joined": q_louvain_first_sweep_joined,
     "symmetrize_dedup": q_symmetrize,

@@ -165,3 +165,18 @@ def test_louvain_joined_salted_hub_path_bitwise():
     mem_ref, q_ref = louvain_jacobi_numpy(es, ed, ew, g.n, max_sweeps=3, max_levels=1)
     np.testing.assert_array_equal(_col(mem_s, "comm"), mem_ref)
     assert q_s == q_ref
+
+
+def test_bfs_joined_matches_broadcast():
+    from parallel_louvain_method_ray.algos.bfs import bfs_distances
+    from parallel_louvain_method_ray.algos.joined import bfs_joined
+
+    src, dst, w = random_graph(60, 4, seed=21)
+    g = _graph(src, dst, w, P=3)
+    jg = joined_graph_from_handle(g)
+    seeds = np.array([0, 19, 44])
+    dist_ds, meta = bfs_joined(jg, seeds)
+    dj = _col(dist_ds, "dist")
+    db, _ = bfs_distances(g, seeds)
+    np.testing.assert_array_equal(dj, db)
+    assert meta["rounds"] >= 2
