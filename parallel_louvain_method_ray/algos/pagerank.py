@@ -37,17 +37,30 @@ def pagerank(
     start_iter: int = 0,
     use_pool: bool = True,
     pool=None,
+    personalization: np.ndarray | None = None,
 ) -> tuple[np.ndarray, dict]:
     """Returns (ranks float64[n], metrics). The graph's entry list is
     interpreted as the DIRECTED arc set (for undirected PageRank pass the
-    symmetrized graph — both directions are already present in shards)."""
+    symmetrized graph — both directions are already present in shards).
+
+    `personalization`: optional restart distribution p (normalized here);
+    teleport and dangling mass go to p instead of uniform 1/N, and the
+    default init is p — standard personalized PageRank."""
     n = graph.n
     out_w = graph.degrees()  # weighted out-degree = CSR row weight sums
     dangling = out_w <= 0.0
+    if personalization is not None:
+        p = personalization.astype(np.float64)
+        s = p.sum()
+        if s <= 0:
+            raise ValueError("personalization must have positive mass")
+        p = p / s
+    else:
+        p = None
     ranks = (
         start_ranks.copy()
         if start_ranks is not None
-        else np.full(n, 1.0 / n, dtype=np.float64)
+        else (p.copy() if p is not None else np.full(n, 1.0 / n, dtype=np.float64))
     )
     inv_out = np.zeros(n, dtype=np.float64)
     inv_out[~dangling] = 1.0 / out_w[~dangling]
@@ -71,7 +84,14 @@ def pagerank(
             incoming = _incoming_dataset_pass(graph, scaled, n)
 
         dangling_mass = float(ranks[dangling].sum())
-        new_ranks = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
+        if p is None:  # uniform teleport — keep the historical expression
+            new_ranks = (1.0 - damping) / n + damping * (
+                incoming + dangling_mass / n
+            )
+        else:
+            new_ranks = (1.0 - damping) * p + damping * (
+                incoming + dangling_mass * p
+            )
         delta = float(np.abs(new_ranks - ranks).sum())
         ranks = new_ranks
         iters = it + 1

@@ -150,6 +150,17 @@ def q_pagerank5(sf_dir: str):
     return _t(vid=raw, rank=np.round(ranks, 9))
 
 
+def q_personalized_pagerank5(sf_dir: str):
+    """Personalized PageRank: teleport + dangling mass restart to a seed
+    distribution (raw vid % 37 == 0, uniform over seeds) instead of 1/N —
+    the similar-page / topic-sensitive ranking primitive. Oracle: the
+    unrolled 5-iteration SQL with the same restart vector."""
+    graph, raw = _graph_for(sf_dir)
+    p = ((raw % 37) == 0).astype(np.float64)
+    ranks, _ = pagerank(graph, tol=0.0, max_iter=5, personalization=p)
+    return _t(vid=raw, rank=np.round(ranks, 9))
+
+
 def q_lpa_one_sweep(sf_dir: str):
     graph, raw = _graph_for(sf_dir)
     labels, _ = label_propagation(graph, max_sweeps=1)
@@ -551,6 +562,30 @@ def _pagerank5_sql() -> str:
     return f"{body}\nSELECT v AS vid, round(r, 9) AS rank FROM r5"
 
 
+def _personalized_pagerank5_sql() -> str:
+    """Unrolled personalized PageRank: restart p(v) = 1/|seeds| on seeds
+    (v % 37 = 0), 0 elsewhere; init = p; no dangling vertices exist in the
+    symmetrized cograph (every vid has an edge), matching _pagerank5_sql."""
+    parts = [
+        f"WITH {SYM_CTES},",
+        "deg AS (SELECT src AS v, sum(weight) AS d FROM sym GROUP BY src),",
+        "ns AS (SELECT count(*) AS s FROM deg WHERE v % 37 = 0),",
+        "p AS (SELECT v, CASE WHEN v % 37 = 0 THEN 1.0 / (SELECT s FROM ns)"
+        " ELSE 0.0 END AS pv FROM deg),",
+        "r0 AS (SELECT v, pv AS r FROM p),",
+    ]
+    for k in range(1, 6):
+        parts.append(
+            f"r{k} AS (SELECT sym.dst AS v, "
+            f"0.15 * pd.pv + 0.85 * sum(r{k-1}.r * sym.weight / deg.d) AS r "
+            f"FROM sym JOIN r{k-1} ON sym.src = r{k-1}.v "
+            f"JOIN deg ON deg.v = sym.src "
+            f"JOIN p pd ON pd.v = sym.dst GROUP BY sym.dst, pd.pv),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT v AS vid, round(r, 9) AS rank FROM r5"
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_supplier_cograph": SUPPLIER_COGRAPH_SQL,
     "symmetrize_dedup": SUPPLIER_SYM_SQL,
@@ -617,6 +652,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM walk GROUP BY v
     """,
     "pagerank5": _pagerank5_sql(),
+    "personalized_pagerank5": _personalized_pagerank5_sql(),
     "lpa_one_sweep": f"""
         WITH {SYM_CTES},
         nl AS (
@@ -721,6 +757,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "bfs_distances": q_bfs_distances,
     "pagerank5": q_pagerank5,
+    "personalized_pagerank5": q_personalized_pagerank5,
     "lpa_one_sweep": q_lpa_one_sweep,
     "modularity_singleton": q_modularity_singleton,
     "louvain_communities": q_louvain,  # rows-only (iterative, non-SQL)

@@ -204,3 +204,24 @@ def test_bfs_unreachable_keeps_inf_sentinel():
     )
     dist, _ = bfs_distances(g, np.array([0]))
     np.testing.assert_array_equal(dist, [0, 1, 4, 4])
+
+
+def test_personalized_pagerank_mass_and_locality():
+    from tests.fixtures import random_graph as _rg
+
+    src, dst, w = _rg(50, 4, seed=5, weights=True)
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=3), n_vertices=50
+    )
+    p = np.zeros(50)
+    p[[3, 7]] = 1.0
+    ranks, _ = pagerank(g, tol=0.0, max_iter=30, personalization=p)
+    assert abs(ranks.sum() - 1.0) < 1e-9  # probability mass conserved
+    # seeds outrank the median vertex (restart concentrates mass there)
+    assert ranks[3] > np.median(ranks) and ranks[7] > np.median(ranks)
+    # uniform personalization == classic pagerank
+    r_uni, _ = pagerank(
+        g, tol=0.0, max_iter=15, personalization=np.ones(50)
+    )
+    r_classic, _ = pagerank(g, tol=0.0, max_iter=15)
+    np.testing.assert_allclose(r_uni, r_classic, atol=1e-12)
