@@ -81,6 +81,67 @@ def bfs_distances(
     return dist, {"rounds": rounds}
 
 
+def sssp_hops(
+    graph: GraphHandle,
+    seeds: np.ndarray,
+    hops: int,
+) -> tuple[np.ndarray, dict]:
+    """Hop-bounded weighted shortest paths (exact Bellman-Ford semantics):
+    dist after round r = cheapest path from any seed using AT MOST r edges.
+
+    Unlike `bfs_distances`, the kernel does EXACTLY ONE relaxation per
+    global round (no local fixpoint — a fixpoint would relax multi-hop
+    paths inside a shard and break the hop bound the SQL oracle unrolls).
+    Returns float64 dists; unreachable-in-`hops` keeps +inf."""
+    n = graph.n
+    dist = np.full(n, np.inf, dtype=np.float64)
+    dist[np.asarray(seeds, dtype=np.int64)] = 0.0
+
+    for _ in range(hops):
+        dist_ref = ray.put(dist)
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            out_v, out_d = [], []
+            for shard in unpack_shards(batch):
+                d = ray.get(dist_ref)
+                cand = np.minimum.reduceat(
+                    d[shard.cols] + shard.weights, shard.indptr[:-1]
+                )
+                # reduceat on an empty row yields the NEXT slice's first
+                # element — mask rows with zero entries
+                row_len = np.diff(shard.indptr)
+                cand[row_len == 0] = np.inf
+                better = cand < d[shard.vids]
+                out_v.append(shard.vids[better])
+                out_d.append(cand[better])
+            return pa.table(
+                {
+                    "vid": np.concatenate(out_v)
+                    if out_v
+                    else np.empty(0, np.int64),
+                    "dist": np.concatenate(out_d)
+                    if out_d
+                    else np.empty(0, np.float64),
+                }
+            )
+
+        changed = 0
+        new_dist = dist.copy()
+        for b in graph.shards.map_batches(
+            kernel, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            vid = t.column("vid").to_numpy(zero_copy_only=False)
+            d = t.column("dist").to_numpy(zero_copy_only=False)
+            if vid.shape[0]:
+                np.minimum.at(new_dist, vid, d)
+                changed += vid.shape[0]
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist, {"hops": hops}
+
+
 def bfs_oracle(
     src: np.ndarray, dst: np.ndarray, n: int, seeds: np.ndarray
 ) -> np.ndarray:

@@ -125,6 +125,61 @@ def q_triangles_per_vertex(sf_dir: str):
     return _t(vid=raw[nz], n_triangles=per_vertex[nz])
 
 
+def q_sssp_8hop(sf_dir: str):
+    """Hop-bounded weighted shortest paths (8-round Bellman-Ford, exact
+    'at most k edges' semantics — one Jacobi relaxation per round, no
+    intra-shard fixpoint). Oracle: the same 8 rounds unrolled as chained
+    min-aggregate CTEs (the recursive-walk formulation would enumerate
+    every ≤8-hop path — combinatorial on this dense cograph)."""
+    from parallel_louvain_method_ray.algos.bfs import sssp_hops
+
+    graph, raw = _graph_for(sf_dir)
+    seeds = np.flatnonzero((raw % 37) == 0)
+    dist, _ = sssp_hops(graph, seeds, hops=8)
+    reached = np.isfinite(dist)
+    return _t(vid=raw[reached], dist=np.round(dist[reached], 6))
+
+
+def _sssp_8hop_sql(hops: int = 8) -> str:
+    infv = "1e308"
+    parts = [
+        f"WITH {SYM_CTES},",
+        "verts AS (SELECT DISTINCT src AS v FROM sym),",
+        "d0 AS (SELECT v, CASE WHEN v % 37 = 0 THEN 0.0 "
+        f"ELSE {infv} END AS d FROM verts),",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT p.v, "
+            f"least(p.d, coalesce(c.cand, {infv})) AS d "
+            f"FROM d{k-1} p LEFT JOIN ("
+            f"SELECT sym.dst AS v, min(p2.d + sym.weight) AS cand "
+            f"FROM sym JOIN d{k-1} p2 ON sym.src = p2.v "
+            f"WHERE p2.d < {infv} GROUP BY sym.dst"
+            f") c ON c.v = p.v),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT v AS vid, round(d, 6) AS dist FROM d{hops} "
+        f"WHERE d < 1e307"
+    )
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Local clustering coefficient: 2*T(v) / (k(v)*(k(v)-1)) with T from
+    the vectorized wedge-probe triangle counter and k = distinct-neighbor
+    degree; vertices with k < 2 are excluded (undefined)."""
+    graph, raw = _graph_for(sf_dir)
+    per_vertex, _ = triangle_counts(graph)
+    src, dst, _w = _collect_graph_entries(graph)
+    nonself = src != dst
+    k = np.bincount(src[nonself], minlength=graph.n).astype(np.int64)
+    ok = k >= 2
+    coeff = np.zeros(graph.n, dtype=np.float64)
+    coeff[ok] = 2.0 * per_vertex[ok] / (k[ok] * (k[ok] - 1.0))
+    return _t(vid=raw[ok], coeff=np.round(coeff[ok], 9))
+
+
 def q_connected_components(sf_dir: str):
     graph, raw = _graph_for(sf_dir)
     labels, _ = connected_components(graph)
@@ -628,6 +683,29 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vid, count(*) AS n_triangles FROM roles GROUP BY vid
     """,
+    "clustering_coefficient": f"""
+        WITH {SYM_CTES},
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM cograph e1
+            JOIN cograph e2 ON e1.dst = e2.src
+            JOIN cograph e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        roles AS (
+            SELECT a AS vid FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ),
+        tcount AS (SELECT vid, count(*) AS t FROM roles GROUP BY vid),
+        deg AS (
+            SELECT src AS vid, count(*) AS k FROM sym
+            WHERE src <> dst GROUP BY src
+        )
+        SELECT d.vid,
+               round(2.0 * coalesce(t.t, 0) / (d.k * (d.k - 1)), 9) AS coeff
+        FROM deg d LEFT JOIN tcount t ON t.vid = d.vid
+        WHERE d.k >= 2
+    """,
     "connected_components": f"""
         WITH RECURSIVE {SYM_CTES},
         reach(v, lab) AS (
@@ -652,6 +730,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM walk GROUP BY v
     """,
     "pagerank5": _pagerank5_sql(),
+    "sssp_8hop": _sssp_8hop_sql(),
     "personalized_pagerank5": _personalized_pagerank5_sql(),
     "lpa_one_sweep": f"""
         WITH {SYM_CTES},
@@ -754,6 +833,8 @@ QUERIES = {
     "graph_meta": q_graph_meta,
     "triangles_total": q_triangles_total,
     "triangles_per_vertex": q_triangles_per_vertex,
+    "clustering_coefficient": q_clustering_coefficient,
+    "sssp_8hop": q_sssp_8hop,
     "connected_components": q_connected_components,
     "bfs_distances": q_bfs_distances,
     "pagerank5": q_pagerank5,

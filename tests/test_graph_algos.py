@@ -225,3 +225,50 @@ def test_personalized_pagerank_mass_and_locality():
     )
     r_classic, _ = pagerank(g, tol=0.0, max_iter=15)
     np.testing.assert_allclose(r_uni, r_classic, atol=1e-12)
+
+
+def test_sssp_hops_bounded_semantics():
+    from parallel_louvain_method_ray.algos.bfs import sssp_hops
+
+    # path 0-1-2-3 with weight 1 per edge, plus a heavy shortcut 0-3 (w=10)
+    src = np.array([0, 1, 2, 0], dtype=np.int64)
+    dst = np.array([1, 2, 3, 3], dtype=np.int64)
+    w = np.array([1.0, 1.0, 1.0, 10.0])
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=2), n_vertices=4
+    )
+    # 1 hop: vertex 3 only reachable via the shortcut (10.0), not the path
+    d1, _ = sssp_hops(g, np.array([0]), hops=1)
+    np.testing.assert_allclose(d1, [0.0, 1.0, np.inf, 10.0])
+    # 3 hops: the cheap 3-edge path wins
+    d3, _ = sssp_hops(g, np.array([0]), hops=3)
+    np.testing.assert_allclose(d3, [0.0, 1.0, 2.0, 3.0])
+
+
+def test_sssp_hops_matches_dijkstra_when_converged():
+    from parallel_louvain_method_ray.algos.bfs import sssp_hops
+    import heapq
+    from tests.fixtures import random_graph as _rg
+
+    src, dst, w = _rg(40, 4, seed=13, weights=True)
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=3), n_vertices=40
+    )
+    dist, _ = sssp_hops(g, np.array([0]), hops=40)  # >= diameter: converged
+    # dijkstra over the symmetrized multigraph
+    adj = [[] for _ in range(40)]
+    for u, v, wt in zip(src.tolist(), dst.tolist(), w.tolist()):
+        adj[u].append((v, wt))
+        adj[v].append((u, wt))
+    want = np.full(40, np.inf)
+    want[0] = 0.0
+    pq = [(0.0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > want[u]:
+            continue
+        for v, wt in adj[u]:
+            if d + wt < want[v]:
+                want[v] = d + wt
+                heapq.heappush(pq, (d + wt, v))
+    np.testing.assert_allclose(dist, want)
