@@ -154,3 +154,24 @@ def pagerank_oracle(
             return nr
         r = nr
     return r
+
+
+def katz_centrality(
+    graph: GraphHandle,
+    alpha: float = 0.005,
+    beta: float = 1.0,
+    iters: int = 5,
+) -> tuple[np.ndarray, dict]:
+    """Katz centrality by fixed-iteration power series:
+    x_k = alpha * A^T x_{k-1} + beta, x_0 = beta * 1.
+
+    Reuses the sparse incoming-sum pass (no degree normalization — that is
+    the only difference from a PageRank iteration). Fixed `iters` so the
+    truncated series is exactly reproducible by the unrolled SQL oracle;
+    pick alpha < 1/lambda_max when convergence (not parity) matters."""
+    n = graph.n
+    x = np.full(n, beta, dtype=np.float64)
+    for _ in range(iters):
+        incoming = _incoming_dataset_pass(graph, x, n)
+        x = alpha * incoming + beta
+    return x, {"iterations": iters}

@@ -125,6 +125,47 @@ def q_triangles_per_vertex(sf_dir: str):
     return _t(vid=raw[nz], n_triangles=per_vertex[nz])
 
 
+def q_katz5(sf_dir: str):
+    """Katz centrality, 5-term truncated power series (x = alpha*A^T x +
+    beta): the PageRank incoming pass without degree normalization.
+    Oracle: the same 5 iterations unrolled in SQL."""
+    from parallel_louvain_method_ray.algos.pagerank import katz_centrality
+
+    graph, raw = _graph_for(sf_dir)
+    x, _ = katz_centrality(graph, alpha=0.005, beta=1.0, iters=5)
+    return _t(vid=raw, katz=np.round(x, 6))
+
+
+def _katz5_sql(alpha: float = 0.005, beta: float = 1.0) -> str:
+    parts = [
+        f"WITH {SYM_CTES},",
+        "verts AS (SELECT DISTINCT src AS v FROM sym),",
+        f"x0 AS (SELECT v, {beta} AS x FROM verts),",
+    ]
+    for k in range(1, 6):
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT verts.v, {beta} + {alpha} * "
+            f"coalesce(c.inc, 0.0) AS x FROM verts LEFT JOIN ("
+            f"SELECT sym.dst AS v, sum(x{k-1}.x * sym.weight) AS inc "
+            f"FROM sym JOIN x{k-1} ON sym.src = x{k-1}.v GROUP BY sym.dst"
+            f") c ON c.v = verts.v),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT v AS vid, round(x, 6) AS katz FROM x5"
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution: (degree, n_vertices) — the skew diagnostic a
+    100 TB graph pipeline runs before choosing its partitioning. Distinct-
+    neighbor degree, self-loops excluded, two-stage aggregate."""
+    graph, raw = _graph_for(sf_dir)
+    src, dst, _w = _collect_graph_entries(graph)
+    nonself = src != dst
+    k = np.bincount(src[nonself], minlength=graph.n).astype(np.int64)
+    deg, cnt = np.unique(k, return_counts=True)
+    return _t(degree=deg, n_vertices=cnt.astype(np.int64))
+
+
 def q_sssp_8hop(sf_dir: str):
     """Hop-bounded weighted shortest paths (8-round Bellman-Ford, exact
     'at most k edges' semantics — one Jacobi relaxation per round, no
@@ -731,6 +772,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pagerank5": _pagerank5_sql(),
     "sssp_8hop": _sssp_8hop_sql(),
+    "katz5": _katz5_sql(),
+    "degree_histogram": f"""
+        WITH {SYM_CTES},
+        deg AS (
+            SELECT src AS v, count(*) AS k FROM sym
+            WHERE src <> dst GROUP BY src
+        )
+        SELECT k AS degree, count(*) AS n_vertices FROM deg GROUP BY k
+    """,
     "personalized_pagerank5": _personalized_pagerank5_sql(),
     "lpa_one_sweep": f"""
         WITH {SYM_CTES},
@@ -835,6 +885,8 @@ QUERIES = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "clustering_coefficient": q_clustering_coefficient,
     "sssp_8hop": q_sssp_8hop,
+    "katz5": q_katz5,
+    "degree_histogram": q_degree_histogram,
     "connected_components": q_connected_components,
     "bfs_distances": q_bfs_distances,
     "pagerank5": q_pagerank5,
