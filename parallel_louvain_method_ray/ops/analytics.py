@@ -155,6 +155,55 @@ def broadcast_anti_join(
     return left.map_batches(keep, batch_format="pyarrow")
 
 
+def chunk_documents(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> ray.data.Dataset:
+    """Sliding-window token chunking — the training-data op that turns
+    documents into fixed-size overlapping training examples.
+
+    Tokens are the whitespace split of the trimmed text (the same
+    convention as text_stats); chunk c covers tokens [c*stride,
+    c*stride+window). Streaming flat-map, no shuffle; each output chunk
+    carries (doc_id, chunk_idx, n_tokens, chunk). Empty documents emit
+    nothing."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, n_out, chunk_out = [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        for did, text in zip(ids, texts):
+            t = (text or "").strip()
+            if not t:
+                continue
+            toks = ws.split(t)
+            n = len(toks)
+            for c in range((n - 1) // stride + 1):
+                lo = c * stride
+                hi = min(lo + window, n)
+                ids_out.append(did)
+                idx_out.append(c)
+                n_out.append(hi - lo)
+                chunk_out.append(" ".join(toks[lo:hi]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_idx": pa.array(idx_out, pa.int64()),
+                "n_tokens": pa.array(n_out, pa.int64()),
+                "chunk": pa.array(chunk_out, pa.string()),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     key_col: str,

@@ -1948,6 +1948,15 @@ def q_domain_link_graph(sf_dir: str):
     )
 
 
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window token chunking (window 64, stride 48): documents ->
+    fixed-size overlapping training examples (ops/analytics.py)."""
+    from parallel_louvain_method_ray.ops.analytics import chunk_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, window=64, stride=48)
+
+
 _DOC_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -2091,6 +2100,24 @@ ORACLE_SQL.update(
                    count(*) AS weight
             FROM lnk, const c GROUP BY 1, 2
         """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ),
+            meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            idx AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, (n - 1) // 48 + 1)) AS c
+                FROM meta
+            )
+            SELECT doc_id, c AS chunk_idx,
+                   least(c * 48 + 64, n) - c * 48 AS n_tokens,
+                   array_to_string(
+                       t[c * 48 + 1 : least(c * 48 + 64, n)], ' '
+                   ) AS chunk
+            FROM idx
+        """,
         "doc_length_quantiles": _DOC_QUANTILE_SQL,
         "top_orders_per_customer": """
             WITH ranked AS (
@@ -2125,6 +2152,7 @@ QUERIES.update(
     {
         "web_link_edges": q_web_link_edges,
         "domain_link_graph": q_domain_link_graph,
+        "doc_chunks": q_doc_chunks,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_events": q_customers_without_events,

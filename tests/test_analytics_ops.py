@@ -109,3 +109,32 @@ def test_hash_sample_deterministic_and_duckdb_parity():
         ).fetchall()
     ]
     assert a == want
+
+
+def test_chunk_documents_windows_and_overlap():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),  # 10 toks
+                    "solo",  # 1 token -> 1 chunk
+                    "   ",  # whitespace-only -> no chunks
+                ],
+            }
+        )
+    )
+    from parallel_louvain_method_ray.ops.analytics import chunk_documents
+
+    out = _collect(
+        chunk_documents(docs, window=4, stride=3)
+    ).sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    d1 = out[out.doc_id == 1]
+    # starts 0,3,6,9 -> 4 chunks; last has 1 token
+    assert d1.chunk_idx.tolist() == [0, 1, 2, 3]
+    assert d1.n_tokens.tolist() == [4, 4, 4, 1]
+    assert d1.chunk.tolist()[0] == "t0 t1 t2 t3"
+    assert d1.chunk.tolist()[1] == "t3 t4 t5 t6"  # stride-3 overlap of 1
+    assert d1.chunk.tolist()[3] == "t9"
+    assert out[out.doc_id == 2].chunk.tolist() == ["solo"]
+    assert (out.doc_id == 3).sum() == 0
