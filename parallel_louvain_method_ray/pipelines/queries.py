@@ -1948,6 +1948,38 @@ def q_domain_link_graph(sf_dir: str):
     )
 
 
+def q_web_kcore7(sf_dir: str):
+    """Bounded k-core (k=7, 16 synchronous peels) of the web link graph —
+    the dense-subgraph filter a link-spam / community pipeline runs.
+    Exact per-round (Jacobi) semantics, so the 16-round SQL unroll is an
+    exact oracle even where peeling hasn't converged yet."""
+    from parallel_louvain_method_ray.algos.kcore import kcore_bounded
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+    alive, _ = kcore_bounded(edges, n, k=7, rounds=16)
+    return _t(vid=np.flatnonzero(alive).astype(np.int64))
+
+
+def _web_kcore7_sql(k: int = 7, rounds: int = 16) -> str:
+    parts = [
+        f"WITH {_WEB_LNK_CTES},",
+        "und AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b "
+        "FROM lnk WHERE i <> j),",
+        "sym2 AS (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b AS u, a AS v FROM und),",
+        "a0 AS (SELECT DISTINCT u AS v FROM sym2),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT s.u AS v FROM sym2 s "
+            f"JOIN a{r-1} x ON x.v = s.u JOIN a{r-1} y ON y.v = s.v "
+            f"GROUP BY s.u HAVING count(*) >= {k}),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT v AS vid FROM a{rounds}"
+
+
 def q_doc_chunks(sf_dir: str):
     """Sliding-window token chunking (window 64, stride 48): documents ->
     fixed-size overlapping training examples (ops/analytics.py)."""
@@ -2100,6 +2132,7 @@ ORACLE_SQL.update(
                    count(*) AS weight
             FROM lnk, const c GROUP BY 1, 2
         """,
+        "web_kcore7": _web_kcore7_sql(),
         "doc_chunks": """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -2152,6 +2185,7 @@ QUERIES.update(
     {
         "web_link_edges": q_web_link_edges,
         "domain_link_graph": q_domain_link_graph,
+        "web_kcore7": q_web_kcore7,
         "doc_chunks": q_doc_chunks,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_orders_per_customer": q_top_orders_per_customer,

@@ -272,3 +272,28 @@ def test_sssp_hops_matches_dijkstra_when_converged():
                 want[v] = d + wt
                 heapq.heappush(pq, (d + wt, v))
     np.testing.assert_allclose(dist, want)
+
+
+def test_kcore_bounded_peel_semantics():
+    import pyarrow as pa
+    import ray.data
+    from parallel_louvain_method_ray.algos.kcore import kcore_bounded
+
+    # triangle {0,1,2} (2-core) + pendant chain 2-3-4 (peels off)
+    src = [0, 1, 2, 2, 3, 3]  # includes a duplicate edge + self loop
+    dst = [1, 2, 0, 3, 4, 3]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+    alive, meta = kcore_bounded(edges, n=5, k=2, rounds=16)
+    # synchronous peel: round 1 drops 4 (deg 1); round 2 drops 3
+    np.testing.assert_array_equal(alive, [True, True, True, False, False])
+    assert meta["rounds"] <= 4  # converged well before the bound
+    # k=1: everything incident survives
+    alive1, _ = kcore_bounded(edges, n=5, k=1, rounds=16)
+    np.testing.assert_array_equal(alive1, [True] * 5)
