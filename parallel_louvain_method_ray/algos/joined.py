@@ -753,9 +753,34 @@ def pagerank_joined(
     the state dataset, so each iteration is exactly two joins (scaled-state
     ⋈ edges for the contribution shuffle, state ⟕ incoming for the update)
     instead of three: the old per-iteration ranks ⋈ degrees join was ~1/3
-    of the round's fixed cost and carried no information the state can't."""
+    of the round's fixed cost and carried no information the state can't.
+
+    Fixed-cost trims: with `tol <= 0` (fixed-iteration mode — what the
+    unrolled SQL oracle runs) the per-iteration L1-delta pass is skipped
+    entirely, and the per-iteration dangling-mass aggregate is skipped
+    when the graph has no dangling vertices (counted ONCE and cached on
+    the JoinedGraph) — together 2 of the 5 dataset executions per round."""
     P = _jg_P(jg, partitions)
     n = jg.n
+    compute_delta = tol > 0
+    n_dangling = getattr(jg, "_n_dangling", None)
+    if n_dangling is None:
+        n_dangling = int(
+            _scalar_sum(
+                _blockwise(
+                    jg.degrees,
+                    lambda b: pa.table(
+                        {
+                            "z": pc.less_equal(b.column("deg"), 0.0).cast(
+                                pa.int64()
+                            )
+                        }
+                    ),
+                ),
+                "z",
+            )
+        )
+        jg._n_dangling = n_dangling
     state = _blockwise(
         jg.degrees,
         lambda b: pa.table(
@@ -784,7 +809,7 @@ def pagerank_joined(
             )
 
         scaled = _tight(_blockwise(state, scale), P)
-        dangling_mass = _scalar_sum(scaled, "dang")
+        dangling_mass = _scalar_sum(scaled, "dang") if n_dangling else 0.0
         contrib = (
             _join(
                 jg.edges,
@@ -830,21 +855,22 @@ def pagerank_joined(
             ),
             P,
         )
-        delta_ds = new_state.map_batches(
-            lambda b: pa.table(
-                {
-                    "d": np.abs(
-                        b.column("rank").to_numpy(zero_copy_only=False)
-                        - b.column("old").to_numpy(zero_copy_only=False)
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        delta = _scalar_sum(delta_ds, "d")
+        if compute_delta:
+            delta_ds = new_state.map_batches(
+                lambda b: pa.table(
+                    {
+                        "d": np.abs(
+                            b.column("rank").to_numpy(zero_copy_only=False)
+                            - b.column("old").to_numpy(zero_copy_only=False)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            delta = _scalar_sum(delta_ds, "d")
         state = _select(new_state, ["vid", "deg", "rank"])  # lazy, tight
         iters = it + 1
-        if delta < tol:
+        if compute_delta and delta < tol:
             break
     ranks = _select(state, ["vid", "rank"])
     return ranks, {"iterations": iters, "l1_delta": delta}
