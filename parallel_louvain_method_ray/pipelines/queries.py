@@ -1948,6 +1948,57 @@ def q_domain_link_graph(sf_dir: str):
     )
 
 
+def q_web_hits3(sf_dir: str):
+    """HITS hubs & authorities on the DIRECTED web link graph, 3 fixed
+    L1-normalized iterations (the cograph is symmetric, where hubs ==
+    authorities — the link graph is the meaningful input)."""
+    from parallel_louvain_method_ray.algos.hits import hits
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+    h, a, _ = hits(edges, n, iters=3, weight_col="n_anchors")
+    return _t(
+        vid=np.arange(n, dtype=np.int64),
+        hub=np.round(h, 9),
+        authority=np.round(a, 9),
+    )
+
+
+def _web_hits3_sql(iters: int = 3) -> str:
+    parts = [
+        f"WITH {_WEB_LNK_CTES},",
+        "e AS (SELECT i AS u, j AS v, CAST(count(*) AS DOUBLE) AS w "
+        "FROM lnk GROUP BY i, j),",
+        "verts AS (SELECT doc_id AS v FROM documents),",
+        "h0 AS (SELECT v, 1.0 AS x FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.v AS v, sum(e.w * h{k-1}.x) "
+            f"AS x FROM e JOIN h{k-1} ON h{k-1}.v = e.u GROUP BY e.v),"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT verts.v, "
+            f"coalesce(ar{k}.x, 0.0) / (SELECT sum(x) FROM ar{k}) AS x "
+            f"FROM verts LEFT JOIN ar{k} ON ar{k}.v = verts.v),"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.u AS v, sum(e.w * a{k}.x) "
+            f"AS x FROM e JOIN a{k} ON a{k}.v = e.v GROUP BY e.u),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT verts.v, "
+            f"coalesce(hr{k}.x, 0.0) / (SELECT sum(x) FROM hr{k}) AS x "
+            f"FROM verts LEFT JOIN hr{k} ON hr{k}.v = verts.v),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT h{iters}.v AS vid, round(h{iters}.x, 9) AS hub, "
+        f"round(a{iters}.x, 9) AS authority "
+        f"FROM h{iters} JOIN a{iters} ON a{iters}.v = h{iters}.v"
+    )
+
+
 def q_web_kcore7(sf_dir: str):
     """Bounded k-core (k=7, 16 synchronous peels) of the web link graph —
     the dense-subgraph filter a link-spam / community pipeline runs.
@@ -2132,6 +2183,7 @@ ORACLE_SQL.update(
                    count(*) AS weight
             FROM lnk, const c GROUP BY 1, 2
         """,
+        "web_hits3": _web_hits3_sql(),
         "web_kcore7": _web_kcore7_sql(),
         "doc_chunks": """
             WITH toks AS (
@@ -2185,6 +2237,7 @@ QUERIES.update(
     {
         "web_link_edges": q_web_link_edges,
         "domain_link_graph": q_domain_link_graph,
+        "web_hits3": q_web_hits3,
         "web_kcore7": q_web_kcore7,
         "doc_chunks": q_doc_chunks,
         "doc_length_quantiles": q_doc_length_quantiles,
