@@ -1948,6 +1948,15 @@ def q_domain_link_graph(sf_dir: str):
     )
 
 
+def q_web_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction on the web link graph: non-adjacent
+    pairs scored by sum(1/ln(deg)) over common neighbors — wedge join ⋈
+    degrees -> groupby, existing edges anti-filtered (algos/linkpred.py)."""
+    from parallel_louvain_method_ray.algos.linkpred import adamic_adar
+
+    return adamic_adar(q_web_link_edges(sf_dir))
+
+
 def q_web_hits3(sf_dir: str):
     """HITS hubs & authorities on the DIRECTED web link graph, 3 fixed
     L1-normalized iterations (the cograph is symmetric, where hubs ==
@@ -2184,6 +2193,29 @@ ORACLE_SQL.update(
             FROM lnk, const c GROUP BY 1, 2
         """,
         "web_hits3": _web_hits3_sql(),
+        "web_adamic_adar": f"""
+            WITH {_WEB_LNK_CTES},
+            und AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b
+                    FROM lnk WHERE i <> j),
+            sym2 AS (SELECT a AS w, b AS v FROM und
+                     UNION ALL SELECT b AS w, a AS v FROM und),
+            deg AS (SELECT w, count(*) AS d FROM sym2 GROUP BY w),
+            wedge AS (
+                SELECT s1.v AS a, s2.v AS b, s1.w AS w
+                FROM sym2 s1 JOIN sym2 s2 ON s1.w = s2.w
+                WHERE s1.v < s2.v
+            ),
+            scored AS (
+                SELECT wedge.a, wedge.b,
+                       sum(1.0 / ln(deg.d)) AS s
+                FROM wedge JOIN deg ON deg.w = wedge.w
+                GROUP BY wedge.a, wedge.b
+            )
+            SELECT a AS src, b AS dst, round(s, 9) AS score FROM scored
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und
+                WHERE und.a = scored.a AND und.b = scored.b)
+        """,
         "web_kcore7": _web_kcore7_sql(),
         "doc_chunks": """
             WITH toks AS (
@@ -2238,6 +2270,7 @@ QUERIES.update(
         "web_link_edges": q_web_link_edges,
         "domain_link_graph": q_domain_link_graph,
         "web_hits3": q_web_hits3,
+        "web_adamic_adar": q_web_adamic_adar,
         "web_kcore7": q_web_kcore7,
         "doc_chunks": q_doc_chunks,
         "doc_length_quantiles": q_doc_length_quantiles,

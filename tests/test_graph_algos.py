@@ -297,3 +297,30 @@ def test_kcore_bounded_peel_semantics():
     # k=1: everything incident survives
     alive1, _ = kcore_bounded(edges, n=5, k=1, rounds=16)
     np.testing.assert_array_equal(alive1, [True] * 5)
+
+
+def test_hits_matches_dense_oracle():
+    import pyarrow as pa
+    import ray.data
+    from parallel_louvain_method_ray.algos.hits import hits
+
+    rng = np.random.default_rng(4)
+    n, m = 30, 120
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst})
+    ).repartition(3)
+    h, a, _ = hits(edges, n, iters=4)
+    # dense oracle: same fixed-iteration L1-normalized recurrence
+    A = np.zeros((n, n))
+    for u, v in zip(src.tolist(), dst.tolist()):
+        A[u, v] += 1.0
+    ho = np.ones(n)
+    for _ in range(4):
+        ao = A.T @ ho
+        ao /= ao.sum()
+        ho = A @ ao
+        ho /= ho.sum()
+    np.testing.assert_allclose(h, ho, atol=1e-12)
+    np.testing.assert_allclose(a, ao, atol=1e-12)
