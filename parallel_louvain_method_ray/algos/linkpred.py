@@ -35,6 +35,90 @@ from parallel_louvain_method_ray.algos.joined import (
 from parallel_louvain_method_ray.algos.kcore import undirected_dedup
 
 
+def jaccard_links(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """Jaccard link prediction: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for
+    non-adjacent pairs with >= 1 common neighbor. Same wedge plan as
+    `adamic_adar`; the degree table is broadcast (O(V)) for the union
+    size instead of a second join."""
+    und = undirected_dedup(edges, src_col, dst_col).materialize()
+    n_edges = und.count()
+    P = _size_aware_P(n_edges * 2)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table(
+            {
+                "w": pa.concat_arrays([a, b]),
+                "v": pa.concat_arrays([b, a]),
+            }
+        )
+
+    sym2 = und.map_batches(both_dirs, batch_format="pyarrow")
+
+    common = (
+        _join(
+            _rename(sym2, ["w", "va"]),
+            _rename(sym2, ["w", "vb"]),
+            on=("w",),
+            P=P,
+        )
+        .filter(expr="va < vb")
+        .groupby(["va", "vb"])
+        .count()
+    )
+
+    # O(V) degree map + O(E) edge-key set, broadcast once
+    deg_t = sym2.groupby("w").count().to_pandas()
+    max_v = int(deg_t["w"].max()) + 1 if len(deg_t) else 1
+    deg = np.zeros(max_v, dtype=np.int64)
+    deg[deg_t["w"].to_numpy()] = deg_t["count()"].to_numpy()
+    deg_ref = ray.put(deg)
+    keys = []
+    for batch in und.iter_batches(batch_format="pyarrow"):
+        t = pa.table(batch)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys.append(a << np.int64(32) | b)
+    edge_keys_ref = ray.put(
+        np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        ek = ray.get(edge_keys_ref)
+        a = batch.column("va").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("vb").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("count()").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        key = a << np.int64(32) | b
+        if ek.shape[0] == 0:
+            adjacent = np.zeros(key.shape[0], dtype=bool)
+        else:
+            idx = np.searchsorted(ek, key)
+            adjacent = (idx < ek.shape[0]) & (
+                ek[np.clip(idx, 0, ek.shape[0] - 1)] == key
+            )
+        sel = ~adjacent
+        a, b, c = a[sel], b[sel], c[sel]
+        union = d[a] + d[b] - c
+        return pa.table(
+            {
+                "src": pa.array(a),
+                "dst": pa.array(b),
+                "common": pa.array(c),
+                "jaccard": pa.array(np.round(c / union, 9)),
+            }
+        )
+
+    return common.map_batches(finish, batch_format="pyarrow")
+
+
 def adamic_adar(
     edges: ray.data.Dataset,
     src_col: str = "src",

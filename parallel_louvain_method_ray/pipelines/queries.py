@@ -1957,6 +1957,15 @@ def q_web_adamic_adar(sf_dir: str):
     return adamic_adar(q_web_link_edges(sf_dir))
 
 
+def q_web_jaccard_links(sf_dir: str):
+    """Jaccard link prediction (|∩| / |∪| over neighbor sets) for
+    non-adjacent web pages — same wedge plan as Adamic-Adar with a
+    broadcast degree map for the union size."""
+    from parallel_louvain_method_ray.algos.linkpred import jaccard_links
+
+    return jaccard_links(q_web_link_edges(sf_dir))
+
+
 def q_web_hits3(sf_dir: str):
     """HITS hubs & authorities on the DIRECTED web link graph, 3 fixed
     L1-normalized iterations (the cograph is symmetric, where hubs ==
@@ -2038,6 +2047,81 @@ def _web_kcore7_sql(k: int = 7, rounds: int = 16) -> str:
         )
     body = "\n".join(parts).rstrip(",")
     return f"{body}\nSELECT v AS vid FROM a{rounds}"
+
+
+def q_tfidf_top5(sf_dir: str):
+    """TF-IDF top-5 terms per document: token explode -> (doc, token) tf
+    groupby -> df groupby -> score -> group-wise top-k (the topk_per_group
+    operator). Scores are ROUNDED to 6 decimals BEFORE ranking in both
+    engines so a 1-ulp ln() difference can never flip the rank-5 cutoff;
+    exact ties break by token."""
+    from parallel_louvain_method_ray.ops.analytics import topk_per_group
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import re
+
+        ws = re.compile(r"\s+")
+        ids_out, tok_out = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = (text or "").strip()
+            if not t:
+                continue
+            for tok in ws.split(t):
+                ids_out.append(did)
+                tok_out.append(tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "token": pa.array(tok_out, pa.string()),
+            }
+        )
+
+    tf = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .count()
+    )
+    tf = tf.map_batches(
+        lambda b: b.rename_columns(["doc_id", "token", "tf"]),
+        batch_format="pyarrow",
+    ).materialize()
+    df_t = tf.groupby("token").count().to_pandas()
+    n_docs = int(
+        pa.concat_tables(
+            [pa.table(b) for b in tf.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow")]
+        )
+        .column("doc_id")
+        .to_pandas()
+        .nunique()
+    )
+    df_map = dict(zip(df_t["token"], df_t["count()"].astype(int)))
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        toks = batch.column("token").to_pylist()
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        dfv = np.array([dfm[t] for t in toks], dtype=np.float64)
+        s = np.round(tfv * np.log(n_docs / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "token": batch.column("token"),
+                "tf": batch.column("tf").cast(pa.int64()),
+                "tfidf": pa.array(s),
+            }
+        )
+
+    scored = tf.map_batches(score, batch_format="pyarrow")
+    return topk_per_group(
+        scored, key_col="doc_id", score_col="tfidf", k=5, tie_col="token"
+    )
 
 
 def q_doc_chunks(sf_dir: str):
@@ -2193,6 +2277,26 @@ ORACLE_SQL.update(
             FROM lnk, const c GROUP BY 1, 2
         """,
         "web_hits3": _web_hits3_sql(),
+        "web_jaccard_links": f"""
+            WITH {_WEB_LNK_CTES},
+            und AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b
+                    FROM lnk WHERE i <> j),
+            sym2 AS (SELECT a AS w, b AS v FROM und
+                     UNION ALL SELECT b AS w, a AS v FROM und),
+            deg AS (SELECT w, count(*) AS d FROM sym2 GROUP BY w),
+            common AS (
+                SELECT s1.v AS a, s2.v AS b, count(*) AS c
+                FROM sym2 s1 JOIN sym2 s2 ON s1.w = s2.w
+                WHERE s1.v < s2.v GROUP BY s1.v, s2.v
+            )
+            SELECT c.a AS src, c.b AS dst, c.c AS common,
+                   round(c.c * 1.0 / (da.d + db.d - c.c), 9) AS jaccard
+            FROM common c
+            JOIN deg da ON da.w = c.a
+            JOIN deg db ON db.w = c.b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und WHERE und.a = c.a AND und.b = c.b)
+        """,
         "web_adamic_adar": f"""
             WITH {_WEB_LNK_CTES},
             und AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b
@@ -2217,6 +2321,31 @@ ORACLE_SQL.update(
                 WHERE und.a = scored.a AND und.b = scored.b)
         """,
         "web_kcore7": _web_kcore7_sql(),
+        "tfidf_top5": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       round(tf.tf * ln((SELECT n FROM nd) * 1.0 / df.df), 6)
+                           AS tfidf
+                FROM tf JOIN df ON df.token = tf.token
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                ) AS rn FROM scored
+            )
+            SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 5
+        """,
         "doc_chunks": """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -2271,7 +2400,9 @@ QUERIES.update(
         "domain_link_graph": q_domain_link_graph,
         "web_hits3": q_web_hits3,
         "web_adamic_adar": q_web_adamic_adar,
+        "web_jaccard_links": q_web_jaccard_links,
         "web_kcore7": q_web_kcore7,
+        "tfidf_top5": q_tfidf_top5,
         "doc_chunks": q_doc_chunks,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_orders_per_customer": q_top_orders_per_customer,
