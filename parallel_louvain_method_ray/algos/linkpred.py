@@ -1,23 +1,31 @@
-"""Link prediction: Adamic-Adar scores over an edge Dataset.
+"""Link prediction: Adamic-Adar and Jaccard scores over an edge Dataset.
 
-score(a, b) = sum over common neighbors w of 1 / ln(deg(w)), for pairs
+score_AA(a, b) = sum over common neighbors w of 1 / ln(deg(w)), for pairs
 (a, b) NOT already adjacent. Classic link-prediction baseline; on a web
 graph it surfaces pages that share many low-fanout co-citers.
 
-Plan shape (all Datasets, no driver O(E) state):
-  distinct undirected edges (one groupby dedupe)
-  -> wedge enumeration: sym2 ⋈ sym2 on the middle vertex (hash join,
-     the same bounded fan-out `_join` the joined engines use)
-  -> ⋈ degrees for the 1/ln(d) weight
-  -> groupby (a, b) sum
-  -> existing-edge anti filter (broadcast distinct-edge key set — the
-     dimension-side contract; swap for a shuffle anti-join when the edge
-     list itself is the fact table)
+Plan shape — ALL state stays in Datasets (no O(E) / O(V) driver arrays,
+no 32-bit key packing, so vids up to 2^63 are safe):
 
-The wedge table is O(sum deg^2) — the same blow-up triangle counting
-manages; at web-graph sparsity it is ~avg_deg x |E|. Hub middles inflate
-it quadratically: cap or sample hub neighborhoods upstream if max-degree
-is unbounded (same hub defense as the triangle/LSH stages)."""
+  distinct undirected edges (one groupby dedupe)
+  -> degrees (one groupby over the 2-direction view)
+  -> spoke join: sym2 ⋈ degrees on the middle vertex, so every spoke
+     carries deg(middle) — one join instead of a separate wedge⋈deg pass
+  -> optional HUB CAP: spokes whose middle degree exceeds
+     `max_middle_degree` are dropped BEFORE the wedge join (a hub middle
+     makes O(d^2) wedges; its per-wedge AA weight 1/ln(d) is the smallest
+     of any middle, so exclusion is the standard bounded-error defense —
+     same spirit as the triangle engine's degree orientation,
+     algos/triangles.py:1-27)
+  -> wedge enumeration: spokes ⋈ sym2 on the middle (bounded fan-out
+     `_join`, the joined engines' discipline)
+  -> groupby (src, dst) aggregate
+  -> existing-edge ANTI JOIN: left_outer join of the scored pairs against
+     the marked undirected edge set on (src, dst) + null filter — a
+     distributed shuffle anti-join, never a broadcast key set.
+
+The wedge table is O(sum deg^2) uncapped — ~avg_deg x |E| at web-graph
+sparsity; with the cap it is O(cap x |E|)."""
 
 from __future__ import annotations
 
@@ -28,147 +36,110 @@ import ray
 import ray.data
 
 from parallel_louvain_method_ray.algos.joined import (
+    _blockwise,
     _join,
     _rename,
+    _seeded,
+    _select,
     _size_aware_P,
 )
 from parallel_louvain_method_ray.algos.kcore import undirected_dedup
 
 
-def jaccard_links(
+def _both_dirs(batch: pa.Table) -> pa.Table:
+    a = batch.column("a").combine_chunks()
+    b = batch.column("b").combine_chunks()
+    return pa.table(
+        {
+            "w": pa.concat_arrays([a, b]),
+            "v": pa.concat_arrays([b, a]),
+        }
+    )
+
+
+def _wedge_plan(
     edges: ray.data.Dataset,
-    src_col: str = "src",
-    dst_col: str = "dst",
-) -> ray.data.Dataset:
-    """Jaccard link prediction: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for
-    non-adjacent pairs with >= 1 common neighbor. Same wedge plan as
-    `adamic_adar`; the degree table is broadcast (O(V)) for the union
-    size instead of a second join."""
+    src_col: str,
+    dst_col: str,
+    max_middle_degree: int | None,
+):
+    """Shared front half: returns (und, sym2, deg, wedges, P).
+
+    und: distinct (a < b) pairs. sym2: both directions (w, v).
+    deg: (w, d) middle degrees. wedges: (w, va, d, vb) with va < vb,
+    deg(middle) carried on every row."""
     und = undirected_dedup(edges, src_col, dst_col).materialize()
     n_edges = und.count()
     P = _size_aware_P(n_edges * 2)
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        return pa.table(
-            {
-                "w": pa.concat_arrays([a, b]),
-                "v": pa.concat_arrays([b, a]),
-            }
-        )
+    sym2 = und.map_batches(_both_dirs, batch_format="pyarrow")
+    deg = _rename(sym2.groupby("w").count(), ["w", "d"])
 
-    sym2 = und.map_batches(both_dirs, batch_format="pyarrow")
-
-    common = (
-        _join(
-            _rename(sym2, ["w", "va"]),
-            _rename(sym2, ["w", "vb"]),
-            on=("w",),
-            P=P,
-        )
-        .filter(expr="va < vb")
-        .groupby(["va", "vb"])
-        .count()
+    spokes = _select(
+        _join(_rename(sym2, ["w", "va"]), deg, on=("w",), P=P),
+        ["w", "va", "d"],
     )
+    if max_middle_degree is not None:
+        spokes = spokes.filter(expr=f"d <= {int(max_middle_degree)}")
+        # the filter may empty whole blocks (or the dataset, on an
+        # all-hubs graph); reseed so the wedge join stays well-formed
+        # (sentinel middle w=-1 matches no sym2 row, drops in the join)
+        spokes = _seeded(spokes, w=-1, va=-1, d=1)
+    wedges = _join(
+        spokes, _rename(sym2, ["w", "vb"]), on=("w",), P=P
+    ).filter(expr="va < vb")
+    return und, deg, wedges, P
 
-    # O(V) degree map + O(E) edge-key set, broadcast once
-    deg_t = sym2.groupby("w").count().to_pandas()
-    max_v = int(deg_t["w"].max()) + 1 if len(deg_t) else 1
-    deg = np.zeros(max_v, dtype=np.int64)
-    deg[deg_t["w"].to_numpy()] = deg_t["count()"].to_numpy()
-    deg_ref = ray.put(deg)
-    keys = []
-    for batch in und.iter_batches(batch_format="pyarrow"):
-        t = pa.table(batch)
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys.append(a << np.int64(32) | b)
-    edge_keys_ref = ray.put(
-        np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+
+def _anti_adjacent(
+    pairs: ray.data.Dataset, und: ray.data.Dataset, P: int
+) -> ray.data.Dataset:
+    """Distributed anti-join: drop pairs already present as undirected
+    edges. pairs must carry (src, dst); emits pairs + a null-filtered
+    left_outer marker (column `adj` dropped by the caller's finisher)."""
+    marked = _blockwise(
+        und,
+        lambda b: b.append_column(
+            "adj", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        ),
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        d = ray.get(deg_ref)
-        ek = ray.get(edge_keys_ref)
-        a = batch.column("va").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("vb").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = batch.column("count()").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        key = a << np.int64(32) | b
-        if ek.shape[0] == 0:
-            adjacent = np.zeros(key.shape[0], dtype=bool)
-        else:
-            idx = np.searchsorted(ek, key)
-            adjacent = (idx < ek.shape[0]) & (
-                ek[np.clip(idx, 0, ek.shape[0] - 1)] == key
-            )
-        sel = ~adjacent
-        a, b, c = a[sel], b[sel], c[sel]
-        union = d[a] + d[b] - c
-        return pa.table(
-            {
-                "src": pa.array(a),
-                "dst": pa.array(b),
-                "common": pa.array(c),
-                "jaccard": pa.array(np.round(c / union, 9)),
-            }
-        )
-
-    return common.map_batches(finish, batch_format="pyarrow")
+    return _join(
+        pairs,
+        marked,
+        on=("src", "dst"),
+        right_on=("a", "b"),
+        how="left_outer",
+        P=P,
+    )
 
 
 def adamic_adar(
     edges: ray.data.Dataset,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_middle_degree: int | None = None,
 ) -> ray.data.Dataset:
     """-> (src, dst, score) for non-adjacent pairs with >= 1 common
-    neighbor; src < dst; score rounded to 9 decimals."""
-    und = undirected_dedup(edges, src_col, dst_col).materialize()
-    n_edges = und.count()
-    P = _size_aware_P(n_edges * 2)
+    neighbor; src < dst; score rounded to 9 decimals.
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        a = batch.column("a")
-        b = batch.column("b")
-        return pa.table(
-            {
-                "w": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                     b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]
-                ),
-                "v": pa.concat_arrays(
-                    [b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
-                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]
-                ),
-            }
-        )
-
-    sym2 = und.map_batches(both_dirs, batch_format="pyarrow")
-    deg = _rename(sym2.groupby("w").count(), ["w", "d"])
-
-    # wedge enumeration: two spokes sharing the middle vertex w
-    wedges = _join(
-        _rename(sym2, ["w", "va"]),
-        _rename(sym2, ["w", "vb"]),
-        on=("w",),
-        P=P,
-    ).filter(expr="va < vb")
+    `max_middle_degree`: exclude common-neighbor middles with degree
+    above the cap (None = exact). Capped runs under-count each affected
+    pair by at most (wedges via hubs) x 1/ln(cap+1)."""
+    und, _deg, wedges, P = _wedge_plan(
+        edges, src_col, dst_col, max_middle_degree
+    )
 
     scored = (
-        _join(wedges, deg, on=("w",), P=P)
-        .map_batches(
+        wedges.map_batches(
             lambda b: pa.table(
                 {
                     "src": b.column("va"),
                     "dst": b.column("vb"),
                     "c": 1.0
                     / np.log(
-                        b.column("d").to_numpy(zero_copy_only=False).astype(
-                            np.float64
-                        )
+                        b.column("d")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
                     ),
                 }
             ),
@@ -177,39 +148,95 @@ def adamic_adar(
         .groupby(["src", "dst"])
         .sum("c")
     )
-
-    # drop already-adjacent pairs: broadcast the distinct-edge key set
-    keys = []
-    for batch in und.iter_batches(batch_format="pyarrow"):
-        t = pa.table(batch)
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys.append(a << np.int64(32) | b)
-    edge_keys_ref = ray.put(
-        np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
-    )
+    # sentinel keeps the left side non-empty on wedge-free graphs; it
+    # never matches an edge (vids >= 0) and is dropped in the finisher
+    seeded = _seeded(scored, src=-1, dst=-1, **{"sum(c)": 0.0})
+    j = _anti_adjacent(seeded, und, P)
 
     def finish(batch: pa.Table) -> pa.Table:
-        ek = ray.get(edge_keys_ref)
-        a = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        key = a << np.int64(32) | b
-        if ek.shape[0] == 0:
-            adjacent = np.zeros(key.shape[0], dtype=bool)
-        else:
-            idx = np.searchsorted(ek, key)
-            adjacent = (idx < ek.shape[0]) & (
-                ek[np.clip(idx, 0, ek.shape[0] - 1)] == key
-            )
-        sel = pa.array(~adjacent)
+        keep = pc.and_(
+            pc.is_null(batch.column("adj")),
+            pc.greater_equal(batch.column("src"), pa.scalar(0)),
+        )
+        t = batch.filter(keep)
         return pa.table(
             {
-                "src": batch.column("src").filter(sel),
-                "dst": batch.column("dst").filter(sel),
-                "score": pc.round(
-                    batch.column("sum(c)").filter(sel), ndigits=9
-                ),
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "score": pc.round(t.column("sum(c)"), ndigits=9),
             }
         )
 
-    return scored.map_batches(finish, batch_format="pyarrow")
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def jaccard_links(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_middle_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Jaccard link prediction: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for
+    non-adjacent pairs with >= 1 common neighbor. Same wedge plan as
+    `adamic_adar`; the endpoint degrees for the union size are attached
+    with two joins against the (small) pair table — no broadcast map."""
+    und, deg, wedges, P = _wedge_plan(
+        edges, src_col, dst_col, max_middle_degree
+    )
+
+    common = (
+        wedges.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("va"), "dst": b.column("vb")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .count()
+    )
+    pairs = _seeded(
+        _rename(common, ["src", "dst", "common"]),
+        src=-1,
+        dst=-1,
+        common=0,
+    )
+    # attach endpoint degrees (left_outer so the sentinel row survives;
+    # every REAL pair endpoint has a degree row by construction)
+    pairs = _join(
+        pairs,
+        _rename(deg, ["wa", "da"]),
+        on=("src",),
+        right_on=("wa",),
+        how="left_outer",
+        P=P,
+    )
+    pairs = _join(
+        pairs,
+        _rename(deg, ["wb", "db"]),
+        on=("dst",),
+        right_on=("wb",),
+        how="left_outer",
+        P=P,
+    )
+    j = _anti_adjacent(pairs, und, P)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_null(batch.column("adj")),
+            pc.greater_equal(batch.column("src"), pa.scalar(0)),
+        )
+        t = batch.filter(keep)
+        c = t.column("common").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = np.maximum(da + db - c, 1)
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "common": pa.array(c),
+                "jaccard": pa.array(np.round(c / union, 9)),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -16,12 +16,15 @@ Each is expressed Ray-Data-first and sized for the 100 TB regime:
   final top-k. The pre-prune bounds the shuffle to O(k * groups *
   blocks) rows instead of the whole table — the same partial-combine
   trick as pre-aggregation before a groupby.
-- **Anti/semi join** (`broadcast_anti_join` / `broadcast_semi_join`):
-  the filter side is collapsed to DISTINCT keys by a distributed
-  aggregate first; the distinct-key array is broadcast once via
-  `ray.put` and each batch filters with a vectorized `np.isin`. Correct
-  while the DISTINCT key count fits a worker heap (dimension-table
-  scale); for fact-vs-fact anti joins swap in a shuffle join on the key.
+- **Anti/semi join**, two tiers:
+  - `broadcast_anti_join` / `broadcast_semi_join`: the filter side is
+    collapsed to DISTINCT keys by a distributed aggregate; the
+    distinct-key array is broadcast once via `ray.put` and each batch
+    filters with a vectorized `np.isin`. Correct while the DISTINCT key
+    count fits a worker heap (dimension-table scale).
+  - `shuffle_anti_join` / `shuffle_semi_join`: fact-vs-fact — distinct
+    keys stay a Dataset, marked, left_outer hash-joined to the left
+    side, marker-null filtered. No driver/broadcast state at all.
 - **Deterministic sampling** (`hash_sample`): keep rows where
   md5(key) % denom < num — reproducible across runs/engines (the SQL
   oracle recomputes the same predicate), streaming, no shuffle.
@@ -155,6 +158,92 @@ def broadcast_anti_join(
     return left.map_batches(keep, batch_format="pyarrow")
 
 
+def _marked_distinct(ds: ray.data.Dataset, col: str):
+    """Distributed distinct keys + an int8 marker column, as a Dataset.
+    Returns (marked Dataset with columns (col, '__plm_hit'), n_distinct)."""
+    distinct = ds.groupby(col).count().select_columns([col]).materialize()
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__plm_hit", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    return distinct.map_batches(mark, batch_format="pyarrow"), distinct.count()
+
+
+def _shuffle_exist_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    keep_hits: bool,
+) -> ray.data.Dataset:
+    """Fact-vs-fact anti/semi join: NO broadcast key set. The right side
+    is collapsed to distinct keys (one groupby shuffle), marked, and
+    left_outer-joined to the left on the key — both operands stream
+    through the bounded-fan-out hash join (`_join` discipline); the marker
+    null-filter picks anti (null) or semi (non-null) rows. Driver state:
+    none. This is the variant `broadcast_anti_join`'s contract defers to
+    when the filter side's distinct-key count exceeds a worker heap."""
+    from parallel_louvain_method_ray.algos.joined import _join, _size_aware_P
+
+    marked, n_keys = _marked_distinct(right, right_key)
+    left_cols = [f.name for f in left.schema().base_schema]
+    if n_keys == 0:
+        # left_outer against an empty operand crashes Ray 2.49's join
+        # finalize; the answer is trivial anyway
+        if keep_hits:
+            return ray.data.from_arrow(
+                pa.Table.from_pylist([], schema=left.schema().base_schema)
+            )
+        return left
+    P = _size_aware_P(max(left.count(), n_keys))
+    j = _join(
+        left,
+        marked,
+        on=(left_key,),
+        right_on=(right_key,),
+        how="left_outer",
+        P=P,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hit = batch.column("__plm_hit")
+        sel = pc.is_valid(hit) if keep_hits else pc.is_null(hit)
+        return batch.filter(sel).select(left_cols)
+
+    return j.map_batches(keep, batch_format="pyarrow")
+
+
+def shuffle_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+) -> ray.data.Dataset:
+    """left rows whose key does NOT exist in right — shuffle variant
+    (both sides may be fact-scale)."""
+    return _shuffle_exist_join(
+        left, right, left_key=left_key, right_key=right_key, keep_hits=False
+    )
+
+
+def shuffle_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+) -> ray.data.Dataset:
+    """left rows whose key EXISTS in right (no right columns attached) —
+    shuffle variant (both sides may be fact-scale)."""
+    return _shuffle_exist_join(
+        left, right, left_key=left_key, right_key=right_key, keep_hits=True
+    )
+
+
 def chunk_documents(
     docs: ray.data.Dataset,
     *,
@@ -216,13 +305,26 @@ def hash_sample(
     Engine-independent (the DuckDB oracle recomputes the identical
     predicate via `md5_number_lower`) and stable across runs — what a
     resumable 100 TB pipeline needs from its sampler. Streaming map, no
-    shuffle, no RNG state."""
+    shuffle, no RNG state.
+
+    Key canonicalization (must match what the oracle hashes): integer
+    keys hash their decimal string (DuckDB: `md5_number_lower(CAST(k AS
+    VARCHAR))`), string keys hash the value itself. md5 is inherently
+    per-row; the canonical bytes are built vectorized via Arrow casts so
+    the Python loop only touches hashlib."""
     from parallel_louvain_method_ray.dedup.minhash import md5_lower64
 
     def keep(batch: pa.Table) -> pa.Table:
-        v = batch.column(key_col).to_numpy(zero_copy_only=False)
+        col = batch.column(key_col)
+        if pa.types.is_integer(col.type):
+            col = pc.cast(col, pa.string())
+        elif not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            raise TypeError(
+                f"hash_sample key must be integer or string, got {col.type}"
+            )
+        v = col.to_pylist()
         sel = np.fromiter(
-            (md5_lower64(str(int(x))) % denom < num for x in v),
+            (x is not None and md5_lower64(x) % denom < num for x in v),
             dtype=bool,
             count=len(v),
         )

@@ -163,7 +163,11 @@ def q_degree_histogram(sf_dir: str):
     nonself = src != dst
     k = np.bincount(src[nonself], minlength=graph.n).astype(np.int64)
     deg, cnt = np.unique(k, return_counts=True)
-    return _t(degree=deg, n_vertices=cnt.astype(np.int64))
+    # drop the degree-0 bucket: the oracle's `deg` CTE only sees vertices
+    # with >= 1 non-self edge, so an isolated/self-loop-only vertex must
+    # not surface here either (ADVICE r3 — latent hash mismatch)
+    keep = deg > 0
+    return _t(degree=deg[keep], n_vertices=cnt[keep].astype(np.int64))
 
 
 def q_sssp_8hop(sf_dir: str):
@@ -2181,6 +2185,31 @@ def q_customers_without_events(sf_dir: str):
     )
 
 
+def q_customers_without_events_shuffle(sf_dir: str):
+    """The SHUFFLE anti join (VERDICT r3 #5): distinct keys stay a
+    Dataset, marked + left_outer hash join + null filter — the
+    fact-vs-fact tier with zero driver/broadcast state. Same answer as
+    the broadcast tier (same oracle SQL)."""
+    from parallel_louvain_method_ray.ops.analytics import shuffle_anti_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    events = read_table(sf_dir, "events", columns=["user_id"])
+    return shuffle_anti_join(
+        cust, events, left_key="c_custkey", right_key="user_id"
+    )
+
+
+def q_customers_with_orders_shuffle(sf_dir: str):
+    """Shuffle semi join (fact-vs-fact tier of q_customers_with_orders)."""
+    from parallel_louvain_method_ray.ops.analytics import shuffle_semi_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return shuffle_semi_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey"
+    )
+
+
 def q_customers_with_orders(sf_dir: str):
     """Semi join (same broadcast-distinct-keys shape)."""
     from parallel_louvain_method_ray.ops.analytics import broadcast_semi_join
@@ -2387,6 +2416,16 @@ ORACLE_SQL.update(
             WHERE EXISTS (
                 SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
+        "customers_without_events_shuffle": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_with_orders_shuffle": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
         "doc_sample_10pct": """
             SELECT doc_id, length(text) AS n_chars FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
@@ -2408,6 +2447,8 @@ QUERIES.update(
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_events": q_customers_without_events,
         "customers_with_orders": q_customers_with_orders,
+        "customers_without_events_shuffle": q_customers_without_events_shuffle,
+        "customers_with_orders_shuffle": q_customers_with_orders_shuffle,
         "doc_sample_10pct": q_doc_sample_10pct,
     }
 )

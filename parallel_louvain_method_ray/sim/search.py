@@ -44,15 +44,24 @@ def cosine_topk(
     query_ids: np.ndarray,
     k: int = 10,
     exclude_ids: bool = True,
+    query_probed: np.ndarray | None = None,
+    bucket_col: str = "bucket",
 ) -> pa.Table:
     """(query_id, vec_id, score): global top-k by cosine per query,
     deterministic tie-break (score desc, vec_id asc). `exclude_ids` drops
-    hits whose vec_id equals the query_id (self-matches)."""
+    hits whose vec_id equals the query_id (self-matches).
+
+    `query_probed` (Q x nprobe int array): restrict query i's candidates
+    to rows whose `bucket_col` value is in query_probed[i] — the per-query
+    IVF mask (ADVICE r3: a union-only filter made each query's result
+    depend on which other queries were batched with it)."""
     q_unit = _normalize_rows(np.asarray(query_vecs, np.float64))
-    q_ref = ray.put((np.asarray(query_ids, np.int64), q_unit))
+    q_ref = ray.put(
+        (np.asarray(query_ids, np.int64), q_unit, query_probed)
+    )
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qids, qm = ray.get(q_ref)
+        qids, qm, probed = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         if ids.shape[0] == 0:
             return pa.table(
@@ -62,18 +71,28 @@ def cosine_topk(
                     "score": pa.array([], pa.float64()),
                 }
             )
+        buckets = (
+            batch.column(bucket_col).to_numpy(zero_copy_only=False)
+            if probed is not None
+            else None
+        )
         dm = _normalize_rows(_batch_matrix(batch))
         sims = qm @ dm.T  # (Q, B)
         out_q, out_v, out_s = [], [], []
         kk = min(k + (1 if exclude_ids else 0), ids.shape[0])
         for qi in range(qids.shape[0]):
             row = sims[qi]
+            if buckets is not None:
+                row = np.where(np.isin(buckets, probed[qi]), row, -np.inf)
             # partial top-k then deterministic ordering
             cand = np.argpartition(-row, kk - 1)[:kk]
             order = np.lexsort((ids[cand], -row[cand]))
             sel = cand[order]
+            sel = sel[row[sel] > -np.inf]
             if exclude_ids:
                 sel = sel[ids[sel] != qids[qi]][:k]
+            else:
+                sel = sel[:k]
             out_q.append(np.full(sel.shape[0], qids[qi], dtype=np.int64))
             out_v.append(ids[sel])
             out_s.append(row[sel])
@@ -202,10 +221,13 @@ def cosine_topk_ivf(
     exclude_ids: bool = True,
     centroids: np.ndarray | None = None,
 ) -> pa.Table:
-    """IVF ANN: scan only the union of each query's `nprobe` nearest
-    centroid buckets, then brute-force top-k within them. Approximate —
-    recall vs `cosine_topk` measured in tests. Pass pre-trained
-    `centroids` to reuse an index across searches."""
+    """IVF ANN: the data stream is pruned to the UNION of all queries'
+    `nprobe` buckets (that bounds scan cost — at 100 TB it is "read only
+    the probed partitions"), but each query's CANDIDATE set is its OWN
+    nprobe buckets (per-query mask inside the top-k kernel), so a query's
+    result never depends on which other queries it was batched with
+    (ADVICE r3). Approximate — recall vs `cosine_topk` measured in tests.
+    Pass pre-trained `centroids` to reuse an index across searches."""
     if centroids is None:
         centroids = train_coarse_quantizer(embeddings, n_centroids)
     q_unit = _normalize_rows(np.asarray(query_vecs, np.float64))
@@ -221,11 +243,12 @@ def cosine_topk_ivf(
         want = ray.get(wanted_ref)
         b = batch.column("bucket").to_numpy(zero_copy_only=False)
         keep = np.fromiter((int(x) in want for x in b.tolist()), bool, b.shape[0])
-        return batch.drop_columns(["bucket"]).filter(pa.array(keep))
+        return batch.filter(pa.array(keep))
 
     filtered = tagged.map_batches(bucket_filter, batch_format="pyarrow")
     return cosine_topk(
-        filtered, query_vecs, query_ids, k=k, exclude_ids=exclude_ids
+        filtered, query_vecs, query_ids, k=k, exclude_ids=exclude_ids,
+        query_probed=probed,
     )
 
 

@@ -218,6 +218,34 @@ def test_cosine_topk_ivf_recall_and_bucketed_layout():
     assert full == exact
 
 
+def test_cosine_topk_ivf_batch_composition_independent():
+    """ADVICE r3: a query's IVF result must not depend on which other
+    queries it is batched with (candidates = its OWN nprobe buckets,
+    never the union)."""
+    from parallel_louvain_method_ray.sim.search import (
+        cosine_topk_ivf,
+        train_coarse_quantizer,
+    )
+
+    rng = np.random.default_rng(47)
+    mat = rng.standard_normal((400, 32))
+    ds = _emb_ds(mat)
+    cent = train_coarse_quantizer(ds, n_centroids=16, sample_size=400)
+
+    solo = cosine_topk_ivf(
+        ds, mat[[7]], np.array([7], np.int64), k=5, nprobe=2, centroids=cent
+    ).to_pandas()
+    # batch query 7 with 5 far-apart queries (union of probed buckets is
+    # much larger than query 7's own 2)
+    qids = np.array([7, 50, 111, 222, 333, 390], dtype=np.int64)
+    batched = cosine_topk_ivf(
+        ds, mat[qids], qids, k=5, nprobe=2, centroids=cent
+    ).to_pandas()
+    b7 = batched[batched.query_id == 7].reset_index(drop=True)
+    assert b7.vec_id.tolist() == solo.vec_id.tolist()
+    assert np.allclose(b7.score.to_numpy(), solo.score.to_numpy())
+
+
 def test_media_plumbing():
     ids = ray.data.from_arrow(
         pa.table({"doc_id": np.arange(40, dtype=np.int64)})
