@@ -1051,6 +1051,243 @@ def bfs_joined(
     return dist, {"rounds": rounds}
 
 
+def katz_joined(
+    jg: JoinedGraph,
+    alpha: float = 0.005,
+    beta: float = 1.0,
+    iters: int = 5,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Katz centrality with the score vector as a Dataset (vid, katz) —
+    the beyond-broadcast tier of `algos.pagerank.katz_centrality` (same
+    truncated power series x_k = alpha * A^T x_{k-1} + beta). One
+    contribution join + one groupby + one left_outer merge per iteration
+    (the PageRank shape without degree scaling or dangling mass)."""
+    P = _jg_P(jg, partitions)
+    state = _blockwise(
+        jg.degrees,
+        lambda b, _beta=beta: pa.table(
+            {
+                "vid": b.column("vid"),
+                "x": np.full(b.num_rows, _beta, dtype=np.float64),
+            }
+        ),
+    )
+    for _ in range(iters):
+        state = _tight(state, P)
+        incoming = (
+            _join(jg.edges, state, on=("src",), right_on=("vid",), P=P)
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "dst": b.column("dst"),
+                        "c": b.column("weight").to_numpy(zero_copy_only=False)
+                        * b.column("x").to_numpy(zero_copy_only=False),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("dst")
+            .sum("c")
+        )
+        state = _blockwise(
+            _join(
+                _select(state, ["vid"]),
+                _rename(incoming, ["vid", "inc"]),
+                on=("vid",),
+                how="left_outer",
+                P=P,
+            ),
+            lambda b, _a=alpha, _b=beta: pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "x": pc.add(
+                        pc.multiply(
+                            pc.coalesce(b.column("inc"), pa.scalar(0.0)),
+                            pa.scalar(_a),
+                        ),
+                        pa.scalar(_b),
+                    ),
+                }
+            ),
+        )
+    return _rename(state, ["vid", "katz"]), {"iterations": iters}
+
+
+def sssp_joined(
+    jg: JoinedGraph,
+    seeds,
+    hops: int,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Hop-bounded weighted shortest paths with dists as a Dataset —
+    the beyond-broadcast tier of `algos.bfs.sssp_hops` (exact Bellman-Ford
+    semantics: dist after round r = cheapest path using AT MOST r edges;
+    exactly one Jacobi relaxation per round). Unreachable keeps +inf."""
+    P = _jg_P(jg, partitions)
+    seeds_ref = ray.put(np.asarray(seeds, dtype=np.int64))
+
+    def init(b: pa.Table) -> pa.Table:
+        vid = b.column("id").to_numpy(zero_copy_only=False)
+        s = ray.get(seeds_ref)
+        d = np.where(np.isin(vid, s), 0.0, np.inf)
+        return pa.table({"vid": b.column("id"), "dist": pa.array(d)})
+
+    dist = _tight(
+        ray.data.range(jg.n, override_num_blocks=P).map_batches(
+            init, batch_format="pyarrow"
+        ),
+        P,
+    )
+    rounds = 0
+    for _ in range(hops):
+        # only finite sources can relax anything; the sentinel keeps the
+        # operand non-empty when the frontier has no outgoing edges yet
+        finite = _seeded(
+            _filter(dist, lambda b: pc.is_finite(b.column("dist"))),
+            vid=-1,
+            dist=0.0,
+        )
+        cand = (
+            _join(
+                jg.edges,
+                _rename(finite, ["vid", "src_dist"]),
+                on=("src",),
+                right_on=("vid",),
+                P=P,
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "dst": b.column("dst"),
+                        "cd": pc.add(
+                            b.column("src_dist"), b.column("weight")
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("dst")
+            .min("cd")
+        )
+        cand = _seeded(_rename(cand, ["vid", "cand"]), vid=-1, cand=0.0)
+        merged = _tight(
+            _join(dist, cand, on=("vid",), how="left_outer", P=P).map_batches(
+                lambda b: pa.table(
+                    {
+                        "vid": b.column("vid"),
+                        "dist": pc.min_element_wise(
+                            b.column("dist"),
+                            pc.coalesce(b.column("cand"), b.column("dist")),
+                        ),
+                        "changed": pc.less(
+                            pc.coalesce(b.column("cand"), b.column("dist")),
+                            b.column("dist"),
+                        ).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            P,
+        )
+        changed = int(_scalar_sum(merged, "changed"))
+        dist = _select(merged, ["vid", "dist"])
+        rounds += 1
+        if changed == 0:
+            break
+    return dist, {"hops": hops, "rounds": rounds}
+
+
+def hits_joined(
+    edges: ray.data.Dataset,
+    n: int,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """HITS with hub/authority vectors as Datasets — the beyond-broadcast
+    tier of `algos.hits.hits` (same fixed-iteration L1-normalized
+    half-steps over the DIRECTED edge table). Returns one Dataset
+    (vid, hub, authority) over vids 0..n-1."""
+    P = _size_aware_P(n, partitions)
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = (
+            b.column(weight_col).cast(pa.float64())
+            if weight_col
+            else pa.array(np.ones(b.num_rows, dtype=np.float64))
+        )
+        return pa.table(
+            {"src": b.column(src_col), "dst": b.column(dst_col), "w": w}
+        )
+
+    e = _tight(edges.map_batches(prep, batch_format="pyarrow"), P)
+    universe = _tight(
+        ray.data.range(n, override_num_blocks=P).map_batches(
+            lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
+        ),
+        P,
+    )
+
+    def half_step(x: ray.data.Dataset, reverse: bool) -> ray.data.Dataset:
+        """x: (vid, x). reverse=False: out[dst] += w*x[src] (authority);
+        reverse=True: out[src] += w*x[dst] (hub). L1-normalized over the
+        raw sums (matching the broadcast engine's sum>0 guard)."""
+        key, other = ("dst", "src") if not reverse else ("src", "dst")
+        raw = (
+            _join(e, _rename(x, ["vid", "x"]), on=(other,), right_on=("vid",), P=P)
+            .map_batches(
+                lambda b, _k=key: pa.table(
+                    {
+                        "vid": b.column(_k),
+                        "p": pc.multiply(b.column("w"), b.column("x")),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("vid")
+            .sum("p")
+        )
+        raw = _tight(_rename(raw, ["vid", "p"]), P)
+        s = _scalar_sum(raw, "p")
+        inv = 1.0 / s if s > 0 else 1.0
+        return _blockwise(
+            _join(universe, raw, on=("vid",), how="left_outer", P=P),
+            lambda b, _i=inv: pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "x": pc.multiply(
+                        pc.coalesce(b.column("p"), pa.scalar(0.0)),
+                        pa.scalar(_i),
+                    ),
+                }
+            ),
+        )
+
+    h = _blockwise(
+        universe,
+        lambda b: pa.table(
+            {
+                "vid": b.column("vid"),
+                "x": np.ones(b.num_rows, dtype=np.float64),
+            }
+        ),
+    )
+    a = None
+    for _ in range(iters):
+        a = half_step(h, reverse=False)
+        h = half_step(a, reverse=True)
+    out = _join(
+        _rename(h, ["vid", "hub"]),
+        _rename(a, ["vid", "authority"]),
+        on=("vid",),
+        P=P,
+    )
+    return _select(out, ["vid", "hub", "authority"]), {"iterations": iters}
+
+
 def lpa_sweep_joined(
     jg: JoinedGraph,
     labels: ray.data.Dataset,

@@ -6,12 +6,16 @@ the SQL oracle unrolls, so an exact `rounds` bound gives identical results
 on BOTH sides even when peeling has not converged yet (removal is
 monotone, so extra rounds past the fixpoint are no-ops).
 
-Execution shape: the undirected distinct edge set is built once with a
-groupby dedupe (one shuffle) and materialized; each round is one
-shuffle-free map_batches pass emitting per-vertex alive-degree partials
-against a broadcast alive bitmap (O(V) driver state — the same contract
-as the other broadcast engines; above `max_broadcast_vertices` run the
-peel on the join path with alive as a Dataset)."""
+Two tiers (the same contract as Louvain/PageRank/CC/LPA):
+
+- `kcore_bounded` (broadcast): the undirected distinct edge set is built
+  once with a groupby dedupe (one shuffle) and materialized; each round
+  is one shuffle-free map_batches pass emitting per-vertex alive-degree
+  partials against a broadcast alive bitmap (O(V) driver state).
+- `kcore_joined` (scale path, above `max_broadcast_vertices`): the alive
+  set is a DATASET; each round is two hash joins (edge endpoints ⋈
+  alive) + one groupby — no driver state at all. Identical per-round
+  semantics (parity pinned in tests/test_joined_path.py)."""
 
 from __future__ import annotations
 
@@ -97,3 +101,81 @@ def kcore_bounded(
             break
         alive = new_alive
     return alive, {"rounds": done}
+
+
+def kcore_joined(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """k-core peel with the alive set as a Dataset (vid) — the
+    beyond-broadcast tier. Exactly `rounds` synchronous peels (or the
+    earlier fixpoint, identical by monotonicity); per-round semantics
+    match `kcore_bounded` bit for bit.
+
+    Round = sym2 ⋈ alive(u) ⋈ alive(v) -> groupby(u).count() ->
+    filter >= k. Convergence check is a metadata-only count comparison
+    (the alive set only shrinks, so equal counts == fixpoint)."""
+    from parallel_louvain_method_ray.algos.joined import (
+        _join,
+        _rename,
+        _size_aware_P,
+        _tight,
+    )
+
+    und = undirected_dedup(edges, src_col, dst_col).materialize()
+    P = _size_aware_P(und.count() * 2, partitions)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])}
+        )
+
+    sym2 = _tight(und.map_batches(both_dirs, batch_format="pyarrow"), P)
+    # round 0: every edge-incident vertex
+    alive = _tight(
+        _rename(sym2.groupby("u").count().select_columns(["u"]), ["vid"]), P
+    )
+    n_alive = alive.count()
+    done = 0
+    for r in range(rounds):
+        if n_alive == 0:
+            break
+        live_deg = (
+            _join(
+                _join(
+                    sym2,
+                    _rename(alive, ["ua"]),
+                    on=("u",),
+                    right_on=("ua",),
+                    P=P,
+                ),
+                _rename(alive, ["va"]),
+                on=("v",),
+                right_on=("va",),
+                P=P,
+            )
+            .groupby("u")
+            .count()
+        )
+        live_deg = _rename(live_deg, ["u", "d"])
+        new_alive = _tight(
+            _rename(
+                live_deg.filter(expr=f"d >= {int(k)}").select_columns(["u"]),
+                ["vid"],
+            ),
+            P,
+        )
+        n_new = new_alive.count()
+        done = r + 1
+        if n_new == n_alive:
+            break
+        alive, n_alive = new_alive, n_new
+        if n_alive == 0:
+            break
+    return alive, {"rounds": done, "n_alive": n_alive}

@@ -515,6 +515,36 @@ def q_louvain_first_sweep_joined(sf_dir: str):
     return _t(vid=raw, comm=raw[comm])
 
 
+def q_katz5_joined(sf_dir: str):
+    """Katz on the join path (score vector as a Dataset — the
+    beyond-broadcast tier); same truncated series and oracle as katz5."""
+    from parallel_louvain_method_ray.algos.joined import _collect, katz_joined
+
+    _, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    x_ds, _ = katz_joined(jg, alpha=0.005, beta=1.0, iters=5)
+    x = _collect(x_ds.sort("vid")).column("katz").to_numpy(
+        zero_copy_only=False
+    )
+    return _t(vid=raw, katz=np.round(x, 6))
+
+
+def q_sssp_8hop_joined(sf_dir: str):
+    """Hop-bounded SSSP on the join path (dists as a Dataset); same 8
+    Bellman-Ford rounds and oracle as sssp_8hop."""
+    from parallel_louvain_method_ray.algos.joined import _collect, sssp_joined
+
+    _, raw = _graph_for(sf_dir)
+    jg = _joined_for(sf_dir)
+    seeds = np.flatnonzero((raw % 37) == 0)
+    dist_ds, _ = sssp_joined(jg, seeds, hops=8)
+    dist = _collect(dist_ds.sort("vid")).column("dist").to_numpy(
+        zero_copy_only=False
+    )
+    reached = np.isfinite(dist)
+    return _t(vid=raw[reached], dist=np.round(dist[reached], 6))
+
+
 # ---------------------------------------------------------------------------
 # relational queries (engine breadth: filter/project/groupby/join/sort/limit)
 # ---------------------------------------------------------------------------
@@ -872,6 +902,8 @@ ORACLE_SQL["pagerank5_joined"] = ORACLE_SQL["pagerank5"]
 ORACLE_SQL["cc_joined"] = ORACLE_SQL["connected_components"]
 ORACLE_SQL["bfs_joined"] = ORACLE_SQL["bfs_distances"]
 ORACLE_SQL["lpa_one_sweep_joined"] = ORACLE_SQL["lpa_one_sweep"]
+ORACLE_SQL["katz5_joined"] = ORACLE_SQL["katz5"]
+ORACLE_SQL["sssp_8hop_joined"] = ORACLE_SQL["sssp_8hop"]
 
 
 QUERIES = {
@@ -881,6 +913,8 @@ QUERIES = {
     "bfs_joined": q_bfs_joined,
     "lpa_one_sweep_joined": q_lpa_one_sweep_joined,
     "louvain_first_sweep_joined": q_louvain_first_sweep_joined,
+    "katz5_joined": q_katz5_joined,
+    "sssp_8hop_joined": q_sssp_8hop_joined,
     "symmetrize_dedup": q_symmetrize,
     "weighted_degrees": q_degrees,
     "renumber_vertices": q_renumber,
@@ -2021,6 +2055,41 @@ def _web_hits3_sql(iters: int = 3) -> str:
     )
 
 
+def q_web_hits3_joined(sf_dir: str):
+    """HITS on the join path (hub/authority vectors as Datasets — the
+    beyond-broadcast tier); same 3 L1-normalized iterations and oracle."""
+    from parallel_louvain_method_ray.algos.joined import _collect, hits_joined
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+    out_ds, _ = hits_joined(edges, n, iters=3, weight_col="n_anchors")
+    t = _collect(out_ds.sort("vid"))
+    return _t(
+        vid=t.column("vid").to_numpy(zero_copy_only=False),
+        hub=np.round(t.column("hub").to_numpy(zero_copy_only=False), 9),
+        authority=np.round(
+            t.column("authority").to_numpy(zero_copy_only=False), 9
+        ),
+    )
+
+
+def q_web_kcore7_joined(sf_dir: str):
+    """k-core peel on the join path (alive set as a Dataset); same 16
+    synchronous rounds and oracle as web_kcore7."""
+    from parallel_louvain_method_ray.algos.joined import _collect
+    from parallel_louvain_method_ray.algos.kcore import kcore_joined
+
+    edges = q_web_link_edges(sf_dir)
+    alive_ds, _ = kcore_joined(edges, k=7, rounds=16)
+    t = _collect(alive_ds)
+    vid = (
+        np.sort(t.column("vid").to_numpy(zero_copy_only=False))
+        if t.num_rows
+        else np.array([], dtype=np.int64)
+    )
+    return _t(vid=vid)
+
+
 def q_web_kcore7(sf_dir: str):
     """Bounded k-core (k=7, 16 synchronous peels) of the web link graph —
     the dense-subgraph filter a link-spam / community pipeline runs.
@@ -2350,6 +2419,8 @@ ORACLE_SQL.update(
                 WHERE und.a = scored.a AND und.b = scored.b)
         """,
         "web_kcore7": _web_kcore7_sql(),
+        "web_hits3_joined": _web_hits3_sql(),
+        "web_kcore7_joined": _web_kcore7_sql(),
         "tfidf_top5": """
             WITH toks AS (
                 SELECT doc_id,
@@ -2441,6 +2512,8 @@ QUERIES.update(
         "web_adamic_adar": q_web_adamic_adar,
         "web_jaccard_links": q_web_jaccard_links,
         "web_kcore7": q_web_kcore7,
+        "web_hits3_joined": q_web_hits3_joined,
+        "web_kcore7_joined": q_web_kcore7_joined,
         "tfidf_top5": q_tfidf_top5,
         "doc_chunks": q_doc_chunks,
         "doc_length_quantiles": q_doc_length_quantiles,
