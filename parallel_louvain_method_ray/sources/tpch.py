@@ -45,6 +45,10 @@ def supplier_cograph_edges(sf_dir: str) -> ray.data.Dataset:
         )
 
     def pairs(group: pa.Table) -> pa.Table:
+        """All upper-triangle pairs within every order run of the bucket,
+        in ONE repeat/arange composition (no Python loop over runs —
+        VERDICT r3 #7; the old per-run `np.triu_indices` loop paid ~500
+        Python iterations per bucket at sf0.01)."""
         ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
         sk = group.column("l_suppkey").to_numpy(zero_copy_only=False)
         order = np.lexsort((sk, ok))
@@ -53,23 +57,30 @@ def supplier_cograph_edges(sf_dir: str) -> ray.data.Dataset:
         keep[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
         ok, sk = ok[keep], sk[keep]
         starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
-        ends = np.r_[starts[1:], ok.shape[0]]
-        src_parts, dst_parts = [], []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            m = e - s
-            if m < 2:
-                continue
-            i, j = np.triu_indices(m, k=1)
-            src_parts.append(sk[s + i])
-            dst_parts.append(sk[s + j])
-        if not src_parts:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
+        lens = np.diff(np.r_[starts, ok.shape[0]])
+        starts, lens = starts[lens >= 2], lens[lens >= 2]
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if lens.shape[0] == 0:
+            return empty
+        # one SLOT per (run, i) with i in [0, m-1): slot i of a run emits
+        # the pairs (i, i+1..m-1)
+        slot_i = np.arange((lens - 1).sum()) - np.repeat(
+            np.cumsum(lens - 1) - (lens - 1), lens - 1
+        )
+        abs_i = np.repeat(starts, lens - 1) + slot_i  # absolute src index
+        rep = np.repeat(lens, lens - 1) - 1 - slot_i  # j's per slot
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        i_pair = np.repeat(abs_i, rep)
+        t = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+        j_pair = i_pair + 1 + t
         return pa.table(
             {
-                "src": np.concatenate(src_parts).astype(np.int64),
-                "dst": np.concatenate(dst_parts).astype(np.int64),
+                "src": sk[i_pair].astype(np.int64),
+                "dst": sk[j_pair].astype(np.int64),
             }
         )
 
