@@ -67,6 +67,7 @@ class ShardWorker:
         self._assign = None
         self._tot = None
         self._csize = None
+        self._pr_cache = None  # flattened (src, cols, w) for pagerank_iter
         keep = set(keep_rows)
         self.shards = []
         gidx = 0
@@ -101,7 +102,7 @@ class ShardWorker:
     def louvain_sweep(
         self, assign_in, deg, m2: float, tie_break: str, active_in=None,
         chunk: int = 256, need_active: bool = False,
-        delta_v=None, delta_c=None,
+        delta_v=None, delta_c=None, profile: bool = False,
     ):
         # ObjectRef args are auto-resolved by Ray before the method runs.
         # Every shard must see the PRE-SWEEP global snapshot (partition
@@ -118,13 +119,17 @@ class ShardWorker:
         # O(V) deserialize + 2 bincounts to O(moves) + 2 memcpys. The
         # driver re-sends the full assignment periodically to pin any
         # incremental float drift in tot (see louvain_level).
+        import time as _time
+
+        t_start = _time.perf_counter()
         out_v, out_c, out_nbr = [], [], []
         if not self.shards:
-            return (
+            empty3 = (
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
             )
+            return empty3 + ({},) if profile else empty3
         n = deg.shape[0]
         canonical = tie_break == "canonical"
         # int32 working copy (comm ids < n < 2^31): halves the random-
@@ -139,10 +144,23 @@ class ShardWorker:
             if delta_v is not None and delta_v.shape[0]:
                 old = assign[delta_v].astype(np.int64)
                 dw = deg[delta_v]
-                np.subtract.at(tot, old, dw)
-                np.add.at(tot, delta_c, dw)
-                np.subtract.at(csize, old, 1)
-                np.add.at(csize, delta_c, 1)
+                if delta_v.shape[0] * 64 < n:
+                    # few moves: O(moves) scatter updates
+                    np.subtract.at(tot, old, dw)
+                    np.add.at(tot, delta_c, dw)
+                    np.subtract.at(csize, old, 1)
+                    np.add.at(csize, delta_c, 1)
+                else:
+                    # move-heavy rounds: ufunc.at's ~0.3us/index made the
+                    # delta apply cost MORE than a full O(n) rebuild
+                    # (measured 0.6-0.95s/worker at 700k moves, n=1.3M);
+                    # bincount accumulates the same sums at memcpy speed
+                    tot += np.bincount(delta_c, weights=dw, minlength=n)
+                    tot -= np.bincount(old, weights=dw, minlength=n)
+                    dcs = np.bincount(delta_c, minlength=n) - np.bincount(
+                        old, minlength=n
+                    )
+                    csize += dcs.astype(csize.dtype)
                 assign[delta_v] = delta_c.astype(idt)
         else:
             assign = np.array(assign_in, dtype=idt)
@@ -156,6 +174,8 @@ class ShardWorker:
                 self._assign, self._tot, self._csize = assign, tot, csize
         tot0 = tot.copy()
         csize0 = csize.copy() if canonical else None
+        t_state = _time.perf_counter()
+        t_kernel = 0.0
         for shard in self.shards:
             if not canonical:
                 # reference-mode GS perturbs tot even for non-movers
@@ -164,6 +184,7 @@ class ShardWorker:
                 assign = np.array(assign_in)
                 tot = np.bincount(assign, weights=deg, minlength=n)
             before = assign[shard.vids].copy()
+            t_k0 = _time.perf_counter()
             if canonical:
                 chunked_local_move_sweep(
                     shard.vids,
@@ -191,6 +212,7 @@ class ShardWorker:
                     tie_break=tie_break,
                     csize=csize,
                 )
+            t_kernel += _time.perf_counter() - t_k0
             after = assign[shard.vids]
             changed = after != before
             cv = shard.vids[changed]
@@ -218,11 +240,23 @@ class ShardWorker:
                 tot[touched] = tot0[touched]
                 if canonical:
                     csize[touched] = csize0[touched]
-        return (
+        out = (
             np.concatenate(out_v) if out_v else np.empty(0, np.int64),
             np.concatenate(out_c) if out_c else np.empty(0, np.int64),
             np.unique(np.concatenate(out_nbr)) if out_nbr else np.empty(0, np.int64),
         )
+        if profile:
+            t_end = _time.perf_counter()
+            return out + (
+                {
+                    "t_state": t_state - t_start,
+                    "t_kernel": t_kernel,
+                    "t_other": (t_end - t_state) - t_kernel,
+                    "n_shards": len(self.shards),
+                    "n_vids": int(sum(s.vids.shape[0] for s in self.shards)),
+                },
+            )
+        return out
 
     def intra_weight(self, assign) -> float:
         s = 0.0
@@ -234,16 +268,33 @@ class ShardWorker:
         return s
 
     def pagerank_iter(self, s, n: int):
-        acc = np.zeros(n, dtype=np.float64)
-        for shard in self.shards:
-            counts = np.diff(shard.indptr)
-            src = np.repeat(shard.vids, counts)
-            acc += np.bincount(
-                shard.cols, weights=s[src] * shard.weights, minlength=n
-            )
+        # per-worker flattened entry view, built once per level: the old
+        # per-shard loop paid one O(n) bincount accumulation PER SHARD
+        # (~10 full-size array writes per worker per iteration); one
+        # concatenated view needs exactly one. Costs one extra copy of
+        # this worker's (src, cols, weights) — O(E/W) memory.
+        if self._pr_cache is None:
+            if self.shards:
+                self._pr_cache = (
+                    np.concatenate(
+                        [
+                            np.repeat(sh.vids, np.diff(sh.indptr))
+                            for sh in self.shards
+                        ]
+                    ),
+                    np.concatenate([sh.cols for sh in self.shards]),
+                    np.concatenate([sh.weights for sh in self.shards]),
+                )
+            else:
+                self._pr_cache = (
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.float64),
+                )
+        src, cols, w = self._pr_cache
         # dense float64 return: goes to plasma and is read ZERO-COPY by the
         # driver — cheaper than pickling sparse (nz, values) pairs
-        return acc
+        return np.bincount(cols, weights=s[src] * w, minlength=n)
 
     def pagerank_iter_sliced(self, s, n: int, bounds: np.ndarray):
         """Same dense partial, returned PRE-SLICED into len(bounds)-1
@@ -436,12 +487,29 @@ class ShardPool:
         ref = ray.put(assign)
         return float(sum(ray.get([w.intra_weight.remote(ref) for w in self.workers])))
 
+    # below this vertex count the driver sums the W dense partials itself:
+    # the reduce-scatter's fan-out (W^2 slice objects + 2W task schedules)
+    # costs more than W small memcpy-adds — at mult=256 (n=1.3M, W=16) the
+    # scatter made PageRank the non-scaling term of the whole bench
+    # (8->32 CPU ratio 1.26x while sweeps hit 2.7x)
+    DRIVER_REDUCE_MAX_N = 4_000_000
+
     def pagerank_iter(self, scaled) -> np.ndarray:
         ref = ray.put(scaled)
         n = self.graph.n
         W = len(self.workers)
         if W == 1:
             return ray.get(self.workers[0].pagerank_iter.remote(ref, n))
+        if n <= self.DRIVER_REDUCE_MAX_N:
+            # small state: fetch dense partials (zero-copy plasma reads)
+            # and add on the driver — O(W * n) memcpy-speed adds
+            parts = ray.get(
+                [w.pagerank_iter.remote(ref, n) for w in self.workers]
+            )
+            acc = parts[0].copy()
+            for p in parts[1:]:
+                acc += p
+            return acc
         # REDUCE-SCATTER: each worker returns its dense partial pre-sliced
         # into W vid ranges; reducer task j sums slice j across all
         # workers. Critical path O(V) regardless of W — the previous tree
