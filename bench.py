@@ -81,7 +81,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extracted = extract_pages(
         pages, concurrency=(2, max(2, num_cpus)), batch_size=256
     ).materialize()
-    bad = extracted.map_batches(
+    bad = extracted.select_columns(["text_ok"]).map_batches(
         lambda b: pa.table(
             {"bad": [int(len(b) - pa.compute.sum(b.column("text_ok")).as_py())]}
         ),

@@ -158,8 +158,9 @@ def web_edge_table(
         pages, concurrency=concurrency, batch_size=batch_size
     ).materialize()
     if check_invariant:
-        # one aggregate over the boolean column — no materialization of text
-        bad = extracted.map_batches(
+        # one aggregate over the PRUNED boolean column (selecting first
+        # keeps the wide text/links columns out of the scan)
+        bad = extracted.select_columns(["text_ok"]).map_batches(
             lambda b: pa.table(
                 {"bad": [int(len(b) - pa.compute.sum(b.column("text_ok")).as_py())]}
             ),

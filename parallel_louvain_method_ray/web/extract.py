@@ -60,6 +60,7 @@ class HtmlExtractor:
             r"<a\s[^>]*?href\s*=\s*\"([^\"]+)\"", re.IGNORECASE
         )
         self._ws = re.compile(r"[ \t\r\f\v]+")
+        self._root = re.compile(r"https?://[^/]+")
 
     def extract_text(self, raw: str) -> str:
         s = self._script.sub("", raw)
@@ -75,8 +76,20 @@ class HtmlExtractor:
 
     def extract_links(self, raw: str, base_url: str) -> list[str]:
         out = []
+        root = None
         for href in self._href.findall(raw):
-            out.append(urljoin(base_url, _html.unescape(href)))
+            h = _html.unescape(href)
+            # fast paths for the two overwhelmingly common shapes —
+            # urljoin's generic parse was ~half the per-page extract cost
+            if h.startswith("https://") or h.startswith("http://"):
+                out.append(h)
+            elif h.startswith("/") and not h.startswith("//"):
+                if root is None:
+                    m = self._root.match(base_url)
+                    root = m.group(0) if m else ""
+                out.append(root + h if root else urljoin(base_url, h))
+            else:
+                out.append(urljoin(base_url, h))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -141,34 +154,44 @@ def extract_pages(
 
 
 def links_to_edges(extracted: ray.data.Dataset) -> ray.data.Dataset:
-    """(url, links) -> (src_url, dst_url, weight=count) — one row per
-    distinct (src, dst) anchor pair, weight = number of anchors."""
+    """(url, links) -> (src_url, dst_url, n_anchors) — one row per
+    distinct (src, dst) anchor pair, n_anchors = number of anchors.
 
-    def explode(batch: pa.Table) -> pa.Table:
+    NO shuffle: a duplicate (src, dst) pair can only come from repeated
+    anchors within ONE page's link list (the src IS the page, and each
+    page is exactly one row), so the anchor-count aggregation is
+    batch-local — Arrow's C++ group_by inside map_batches. The previous
+    global string-keyed `groupby` shuffled every anchor pair for nothing
+    (~6 s of the 13 s extract stage at sf0.1/32cpu)."""
+
+    def explode_count(batch: pa.Table) -> pa.Table:
         import numpy as np
         import pyarrow.compute as pc
 
         col = batch.column("links")
+        combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         # zero-copy per-row lengths (null rows count 0) — materializing the
         # whole list column to Python here was the hot-stage bottleneck
-        counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        counts = pc.fill_null(pc.list_value_length(combined), 0).to_numpy(
             zero_copy_only=False
         )
         src = pa.array(
             np.repeat(batch.column("url").to_numpy(zero_copy_only=False), counts),
             pa.string(),
         )
-        combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         flat = combined.flatten()  # offset-aware, zero-copy
-        return pa.table({"src_url": src, "dst_url": flat.cast(pa.string())})
-
-    return (
-        extracted.select_columns(["url", "links"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["src_url", "dst_url"])
-        .count()
-        .map_batches(
-            lambda b: b.rename_columns(["src_url", "dst_url", "n_anchors"]),
-            batch_format="pyarrow",
+        t = pa.table({"src_url": src, "dst_url": flat.cast(pa.string())})
+        g = t.group_by(["src_url", "dst_url"], use_threads=False).aggregate(
+            [([], "count_all")]
         )
+        return pa.table(
+            {
+                "src_url": g.column("src_url"),
+                "dst_url": g.column("dst_url"),
+                "n_anchors": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return extracted.select_columns(["url", "links"]).map_batches(
+        explode_count, batch_format="pyarrow"
     )
