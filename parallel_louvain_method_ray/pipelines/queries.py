@@ -545,6 +545,79 @@ def q_sssp_8hop_joined(sf_dir: str):
     return _t(vid=raw[reached], dist=np.round(dist[reached], 6))
 
 
+# Graph500 surface (the reference's dead graph500 driver —
+# main_distributed_bfs.cpp — declared from_kronecker + top_down_bfs but
+# never implemented them; scale/edgefactor/seed fixed so the driver gets
+# the same deterministic graph at every sf)
+_KRON = dict(scale=11, edgefactor=8, seed=42)
+
+
+def q_kronecker_edges(sf_dir: str):
+    """R-MAT/Graph500 synthetic edge list (2^11 vertices, 16384 edges,
+    counter-based splitmix64 — sources/kronecker.py). The oracle
+    regenerates the identical list in SQL, duplicates and all."""
+    from parallel_louvain_method_ray.sources.kronecker import kronecker_edges
+
+    return kronecker_edges(**_KRON)
+
+
+def q_graph500_bfs_parents(sf_dir: str):
+    """Top-down BFS parent tree from root 0 over the Kronecker graph —
+    the reference graph500 driver's output contract (parents vector),
+    with the deterministic min-vid parent tie-break. Emits reached
+    vertices only: (vid, dist, parent)."""
+    from parallel_louvain_method_ray.algos.bfs import bfs_parents
+    from parallel_louvain_method_ray.sources.kronecker import kronecker_edges
+
+    n = 1 << _KRON["scale"]
+    graph = build_graph(kronecker_edges(**_KRON), _CFG, n_vertices=n)
+    parent, dist, _ = bfs_parents(graph, root=0)
+    reached = dist < n
+    return _t(
+        vid=np.flatnonzero(reached).astype(np.int64),
+        dist=dist[reached],
+        parent=parent[reached],
+    )
+
+
+def _graph500_bfs_parents_sql() -> str:
+    """Walk depth is bounded at 16: the fixed Kronecker graph's true
+    eccentricity from root 0 is ~7 (asserted < 16 by
+    tests/test_kronecker.py, so the truncation can never bite); an
+    unbounded walk enumerates every (v, d) pair to the bound and made
+    the oracle 50x slower than the engine."""
+    from parallel_louvain_method_ray.sources.kronecker import kronecker_ctes
+
+    return f"""
+        WITH RECURSIVE {kronecker_ctes(**_KRON)},
+        krsym AS (
+            SELECT src AS u, dst AS v FROM kredges WHERE src <> dst
+            UNION
+            SELECT dst, src FROM kredges WHERE src <> dst
+        ),
+        walk(v, d) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION
+            SELECT s.v, w.d + 1 FROM walk w JOIN krsym s ON s.u = w.v
+            WHERE w.d < 16
+        ),
+        dmin AS MATERIALIZED (
+            SELECT v, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY v
+        ),
+        par AS (
+            SELECT s.v AS vid, min(s.u) AS parent
+            FROM krsym s
+            JOIN dmin pu ON pu.v = s.u
+            JOIN dmin pv ON pv.v = s.v
+            WHERE pu.dist = pv.dist - 1
+            GROUP BY s.v
+        )
+        SELECT c.v AS vid, c.dist,
+               CASE WHEN c.v = 0 THEN 0 ELSE p.parent END AS parent
+        FROM dmin c LEFT JOIN par p ON p.vid = c.v
+    """
+
+
 # ---------------------------------------------------------------------------
 # relational queries (engine breadth: filter/project/groupby/join/sort/limit)
 # ---------------------------------------------------------------------------
@@ -906,6 +979,19 @@ ORACLE_SQL["katz5_joined"] = ORACLE_SQL["katz5"]
 ORACLE_SQL["sssp_8hop_joined"] = ORACLE_SQL["sssp_8hop"]
 
 
+def _register_kronecker_oracles() -> None:
+    from parallel_louvain_method_ray.sources.kronecker import (
+        kronecker_edges_sql,
+    )
+
+    ORACLE_SQL["kronecker_edges"] = kronecker_edges_sql(**_KRON)
+    ORACLE_SQL["graph500_bfs_parents"] = _graph500_bfs_parents_sql()
+
+
+# (called at the BOTTOM of this module: kronecker_ctes needs _mix_ctes,
+# which is defined further down)
+
+
 QUERIES = {
     "edges_supplier_cograph": q_edges,
     "pagerank5_joined": q_pagerank5_joined,
@@ -915,6 +1001,8 @@ QUERIES = {
     "louvain_first_sweep_joined": q_louvain_first_sweep_joined,
     "katz5_joined": q_katz5_joined,
     "sssp_8hop_joined": q_sssp_8hop_joined,
+    "kronecker_edges": q_kronecker_edges,
+    "graph500_bfs_parents": q_graph500_bfs_parents,
     "symmetrize_dedup": q_symmetrize,
     "weighted_degrees": q_degrees,
     "renumber_vertices": q_renumber,
@@ -2652,3 +2740,5 @@ ORACLE_SQL["louvain_first_sweep"] = f"""
 
 QUERIES["louvain_first_sweep"] = q_louvain_first_sweep
 ORACLE_SQL["louvain_first_sweep_joined"] = ORACLE_SQL["louvain_first_sweep"]
+
+_register_kronecker_oracles()
