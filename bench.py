@@ -322,7 +322,8 @@ def main() -> None:
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        # default working set 91M entries (mult=1280): large enough that
+        # default working set 114M entries (mult=1280; earlier notes said
+        # 91M — that was the r2 mult=1024 figure): large enough that
         # per-round kernel work dominates the BSP round trip — the regime
         # the 100 TB target lives in. At small working sets (e.g. mult=256,
         # 23M entries) the delta-broadcast sweeps are so fast that fixed
