@@ -44,6 +44,7 @@ def chunked_local_move_sweep(
     csize: np.ndarray | None = None,
     chunk: int = 64,
     active: np.ndarray | None = None,
+    undo_log: list | None = None,
 ) -> int:
     """Vectorized variant of the canonical local-move sweep: Jacobi within a
     `chunk`-vertex block (one np.unique + one lexsort per block), strict
@@ -53,6 +54,14 @@ def chunked_local_move_sweep(
     the block-start state (the distributed BSP already accepts exactly this
     staleness between partitions). ~20x faster than the per-vertex loop —
     used by the ShardPool workers in canonical mode.
+
+    `undo_log`: when a list is passed, every chunk that applies moves first
+    appends `(touched_ids, tot_pre_values, csize_pre_values)` — the EXACT
+    values of the entries it is about to mutate. Replaying the log in
+    REVERSE restores `tot`/`csize` bit-for-bit to their pre-call state at
+    O(moves) cost, which lets the BSP worker skip the two O(n) pristine
+    copies per sweep that dominated DRAM traffic at large n (`comm` is
+    restored by the caller from its own per-shard `before` snapshot).
     """
     n_local = vids.shape[0]
     if n_local == 0:
@@ -155,6 +164,15 @@ def chunked_local_move_sweep(
         mo = own[mr]
         mv = v_rows[mr]
         md = dv[mr]
+        if undo_log is not None:
+            touched = np.unique(np.concatenate([mo, mc]))
+            undo_log.append(
+                (
+                    touched,
+                    tot[touched].copy(),
+                    csize[touched].copy() if csize is not None else None,
+                )
+            )
         comm[mv] = mc
         np.add.at(tot, mo, -md)
         np.add.at(tot, mc, md)

@@ -76,6 +76,30 @@ def pagerank(
     elif pool is not None and pool.graph is not graph:
         pool.reload(graph)
 
+    if (
+        pool is not None
+        and on_iteration is None
+        and n > pool.DRIVER_REDUCE_MAX_N
+    ):
+        # large state: fully-sharded power iteration — rank slices live in
+        # plasma, per-round driver work is O(W) scalars (no O(n) broadcast
+        # put / dense per-worker accumulators; see ShardPool.pagerank_power)
+        ranks, info = pool.pagerank_power(
+            inv_out,
+            dangling,
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter - start_iter,
+            r0=ranks if (start_ranks is not None or p is not None) else None,
+            p=p,
+        )
+        if own_pool:
+            pool.shutdown()
+        return ranks, {
+            "iterations": start_iter + info["iterations"],
+            "l1_delta": info["l1_delta"],
+        }
+
     for it in range(start_iter, max_iter):
         scaled = ranks * inv_out  # rank(u)/outdeg_w(u), 0 for dangling
         if pool is not None:

@@ -45,6 +45,48 @@ def _sum_slices(*parts: np.ndarray) -> np.ndarray:
     return acc
 
 
+@ray.remote(num_cpus=0)
+def _pr_reduce_slice(
+    n: int,
+    n_j: int,
+    damping: float,
+    dm: float,
+    inv_out_j,
+    dangling_j,
+    p_j,
+    r_old_j,
+    *idx_then_val,
+):
+    """One PageRank reduce-scatter slice: sum the W workers' sparse
+    partials for this vid range, apply teleport + dangling redistribution,
+    and emit the NEXT round's rank slice, scaled slice (rank * inv_out,
+    the workers' next input) and the two scalars the driver needs (this
+    slice's dangling mass and L1 delta). The driver never touches an O(n)
+    array during iteration — its per-round work is summing 2W floats."""
+    W = len(idx_then_val) // 2
+    idxs = idx_then_val[:W]
+    vals = idx_then_val[W:]
+    nz = [i for i in range(W) if idxs[i].shape[0]]
+    if nz:
+        inc = np.bincount(
+            np.concatenate([idxs[i] for i in nz]).astype(np.int64),
+            weights=np.concatenate([vals[i] for i in nz]),
+            minlength=n_j,
+        )
+    else:
+        inc = np.zeros(n_j, dtype=np.float64)
+    if p_j is None:  # uniform teleport — keep the historical expression
+        new_r = (1.0 - damping) / n + damping * (inc + dm / n)
+    else:
+        new_r = (1.0 - damping) * p_j + damping * (inc + dm * p_j)
+    new_s = new_r * inv_out_j
+    dsum = float(new_r[dangling_j].sum())
+    delta = (
+        float(np.abs(new_r - r_old_j).sum()) if r_old_j is not None else np.inf
+    )
+    return new_r, new_s, (dsum, delta)
+
+
 @ray.remote(num_cpus=0, scheduling_strategy="SPREAD")
 class ShardWorker:
     """num_cpus=0: the pool is BSP-synchronous (never more than one busy
@@ -68,6 +110,7 @@ class ShardWorker:
         self._tot = None
         self._csize = None
         self._pr_cache = None  # flattened (src, cols, w) for pagerank_iter
+        self._pr_idx = None  # sharded-power-iteration index (pr_index)
         keep = set(keep_rows)
         self.shards = []
         gidx = 0
@@ -172,8 +215,12 @@ class ShardWorker:
             )
             if canonical:
                 self._assign, self._tot, self._csize = assign, tot, csize
-        tot0 = tot.copy()
-        csize0 = csize.copy() if canonical else None
+        # canonical mode restores tot/csize after each shard by replaying
+        # the kernel's undo log in reverse (exact saved pre-values, O(moves))
+        # — the former full pristine copies were two O(n) memcpys PER SWEEP
+        # PER WORKER (~600 MB at n=51M), pure DRAM traffic that rivaled the
+        # kernel's own and killed the 8->32 CPU sweep ratio at mult=1280.
+        tot0 = tot.copy() if not canonical else None
         t_state = _time.perf_counter()
         t_kernel = 0.0
         for shard in self.shards:
@@ -186,6 +233,7 @@ class ShardWorker:
             before = assign[shard.vids].copy()
             t_k0 = _time.perf_counter()
             if canonical:
+                undo_log: list = []
                 chunked_local_move_sweep(
                     shard.vids,
                     shard.indptr,
@@ -198,6 +246,7 @@ class ShardWorker:
                     csize=csize,
                     chunk=chunk,
                     active=active_in,
+                    undo_log=undo_log,
                 )
             else:
                 local_move_sweep(
@@ -234,12 +283,16 @@ class ShardWorker:
                 )
                 out_nbr.append(np.unique(shard.cols[offs]))
             # exact undo of this shard's effects on the shared state
-            if cv.shape[0]:
+            if canonical:
+                assign[cv] = before[changed]
+                for touched, tot_pre, csize_pre in reversed(undo_log):
+                    tot[touched] = tot_pre
+                    if csize_pre is not None:
+                        csize[touched] = csize_pre
+            elif cv.shape[0]:
                 touched = np.union1d(before[changed], cc)
                 assign[cv] = before[changed]
                 tot[touched] = tot0[touched]
-                if canonical:
-                    csize[touched] = csize0[touched]
         out = (
             np.concatenate(out_v) if out_v else np.empty(0, np.int64),
             np.concatenate(out_c) if out_c else np.empty(0, np.int64),
@@ -305,6 +358,74 @@ class ShardWorker:
         acc = self.pagerank_iter(s, n)
         return tuple(
             acc[bounds[j]:bounds[j + 1]] for j in range(len(bounds) - 1)
+        )
+
+    def pr_index(self, bounds) -> bool:
+        """Per-level index for the fully-sharded power iteration
+        (`ShardPool.pagerank_power`): this worker's flattened entries
+        sorted by src, src-slice segment offsets (so rank-slice gathers
+        are contiguous), and the UNIQUE dst ids with dst-slice offsets
+        (so per-round output is a sparse O(nnz) value vector, not a dense
+        O(n) accumulator — the dense per-worker bincount made PageRank
+        O(n*W) total traffic and the bench's non-scaling term)."""
+        bounds = np.asarray(bounds, dtype=np.int64)
+        if self.shards:
+            src = np.concatenate(
+                [np.repeat(sh.vids, np.diff(sh.indptr)) for sh in self.shards]
+            ).astype(np.int64)
+            cols = np.concatenate(
+                [sh.cols for sh in self.shards]
+            ).astype(np.int64)
+            w = np.concatenate([sh.weights for sh in self.shards])
+        else:
+            src = np.empty(0, np.int64)
+            cols = np.empty(0, np.int64)
+            w = np.empty(0, np.float64)
+        order = np.argsort(src, kind="stable")
+        src_s, cols_s, w_s = src[order], cols[order], w[order]
+        in_pos = np.searchsorted(src_s, bounds)
+        uc, inv = np.unique(cols_s, return_inverse=True)
+        out_pos = np.searchsorted(uc, bounds)
+        self._pr_idx = (
+            src_s,
+            w_s,
+            inv.astype(np.int32) if uc.shape[0] < 2**31 else inv,
+            uc,
+            in_pos,
+            out_pos,
+            bounds,
+        )
+        return True
+
+    def pr_out_index(self):
+        """The per-dst-slice LOCAL indices of this worker's sparse partial
+        (uc - slice_start), returned once per level via num_returns=W —
+        the driver re-passes the same refs to the reducers every round, so
+        only the VALUES travel per iteration."""
+        _, _, _, uc, _, out_pos, bounds = self._pr_idx
+        W = bounds.shape[0] - 1
+        return tuple(
+            (uc[out_pos[j]:out_pos[j + 1]] - bounds[j]).astype(np.int32)
+            if bounds[j + 1] - bounds[j] < 2**31
+            else uc[out_pos[j]:out_pos[j + 1]] - bounds[j]
+            for j in range(W)
+        )
+
+    def pr_partials(self, *s_slices):
+        """One power-iteration scatter: gather this worker's needed scaled
+        ranks from the W slice refs (contiguous per-slice segments, zero
+        copy reads), multiply by entry weights, and bincount into the
+        sparse unique-dst value vector. Returns the W per-dst-slice value
+        segments (num_returns=W). O(E/W) work and wire — no O(n) term."""
+        src_s, w_s, inv, uc, in_pos, out_pos, bounds = self._pr_idx
+        svals = np.empty(src_s.shape[0], dtype=np.float64)
+        for i, sl in enumerate(s_slices):
+            seg = slice(in_pos[i], in_pos[i + 1])
+            svals[seg] = sl[src_s[seg] - bounds[i]]
+        vals = np.bincount(inv, weights=svals * w_s, minlength=uc.shape[0])
+        W = len(s_slices)
+        return tuple(
+            vals[out_pos[j]:out_pos[j + 1]] for j in range(W)
         )
 
     def cc_round(self, lab_in):
@@ -527,6 +648,98 @@ class ShardPool:
             for j in range(W)
         ]
         return np.concatenate(ray.get(reduced))
+
+    def pagerank_power(
+        self,
+        inv_out: np.ndarray,
+        dangling: np.ndarray,
+        damping: float = 0.85,
+        tol: float = 0.0,
+        max_iter: int = 10,
+        r0: np.ndarray | None = None,
+        p: np.ndarray | None = None,
+    ):
+        """Fully-sharded power iteration: rank/scaled vectors live as W
+        plasma slice refs aligned to the reduce-scatter bounds; workers
+        emit sparse O(nnz) partials against a per-level cached index; the
+        reducers produce the next round's slices directly. Per-round
+        driver work is O(W) scalars — no O(n) compute, no O(n) broadcast
+        put, no dense O(n)-per-worker accumulators (those made PageRank
+        the non-scaling term of the mult=1280 bench: 8->32 CPU ratio 1.29x
+        vs the sweeps' 2.7x). Semantics identical to `algos.pagerank`'s
+        driver loop (same teleport/dangling expressions, same L1 stop).
+
+        Returns (ranks, {"iterations", "l1_delta", "iter_secs"})."""
+        import time as _time
+
+        n = self.graph.n
+        W = len(self.workers)
+        bounds = np.linspace(0, n, W + 1).astype(np.int64)
+        ray.get([w.pr_index.remote(bounds) for w in self.workers])
+        if W == 1:
+            idx_refs = [[self.workers[0].pr_out_index.remote()]]
+            # num_returns=1 returns the 1-tuple itself; unwrap lazily in
+            # the reduce call via a tiny shim is overkill — re-fetch once
+            idx_refs = [[ray.put(ray.get(idx_refs[0][0])[0])]]
+        else:
+            idx_refs = [
+                list(w.pr_out_index.options(num_returns=W).remote())
+                for w in self.workers
+            ]
+        r = np.full(n, 1.0 / n, dtype=np.float64) if r0 is None else r0
+        if p is not None and r0 is None:
+            r = p.copy()
+        sl = lambda a, j: a[bounds[j]:bounds[j + 1]]  # noqa: E731
+        inv_refs = [ray.put(sl(inv_out, j)) for j in range(W)]
+        dang_refs = [ray.put(sl(dangling, j)) for j in range(W)]
+        p_refs = [
+            ray.put(sl(p, j)) if p is not None else None for j in range(W)
+        ]
+        r_refs = [ray.put(sl(r, j)) for j in range(W)]
+        s_refs = [ray.put(sl(r, j) * sl(inv_out, j)) for j in range(W)]
+        dm = float(r[dangling].sum())
+        iters, delta, iter_secs = 0, np.inf, []
+        for _ in range(max_iter):
+            t0 = _time.perf_counter()
+            val_refs = [
+                w.pr_partials.options(num_returns=W).remote(*s_refs)
+                if W > 1
+                else [w.pr_partials.remote(*s_refs)]
+                for w in self.workers
+            ]
+            if W == 1:
+                # single worker returns the 1-tuple whole; unwrap
+                val_refs = [[ray.put(ray.get(val_refs[0][0])[0])]]
+            outs = [
+                _pr_reduce_slice.options(num_returns=3).remote(
+                    n,
+                    int(bounds[j + 1] - bounds[j]),
+                    damping,
+                    dm,
+                    inv_refs[j],
+                    dang_refs[j],
+                    p_refs[j],
+                    r_refs[j],
+                    *[idx_refs[wk][j] for wk in range(W)],
+                    *[val_refs[wk][j] for wk in range(W)],
+                )
+                for j in range(W)
+            ]
+            r_refs = [o[0] for o in outs]
+            s_refs = [o[1] for o in outs]
+            scalars = ray.get([o[2] for o in outs])
+            dm = float(sum(s[0] for s in scalars))
+            delta = float(sum(s[1] for s in scalars))
+            iter_secs.append(_time.perf_counter() - t0)
+            iters += 1
+            if delta < tol:
+                break
+        ranks = np.concatenate(ray.get(r_refs))
+        return ranks, {
+            "iterations": iters,
+            "l1_delta": delta,
+            "iter_secs": iter_secs,
+        }
 
     def cc_round(self, labels):
         ref = ray.put(labels)

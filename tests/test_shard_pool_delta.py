@@ -47,3 +47,100 @@ def test_delta_sweep_matches_full_broadcast():
         np.testing.assert_array_equal(v1, v2)
         np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(a_full, a_delta)
+
+
+def _directed_test_graph(seed=7, n=800, E=6000, n_dangling=40):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    keep = (src != dst) & (src < n - n_dangling)  # tail vids dangling
+    pairs = np.unique(src[keep] * n + dst[keep])  # builder-dedup parity
+    src = (pairs // n).astype(np.int64)
+    dst = (pairs % n).astype(np.int64)
+    g = graph_from_entry_arrays(
+        src, dst, np.ones(src.shape[0]),
+        EngineConfig(num_partitions=4),
+        already_symmetrized=True, n_vertices=n,
+    )
+    return g, src, dst
+
+
+def test_pagerank_power_matches_per_iter_loop_and_oracle():
+    """The fully-sharded power iteration (rank slices in plasma, sparse
+    partials, reducer-produced next-round slices) must match both the
+    per-iteration pool loop and the dense driver oracle, including
+    dangling-mass redistribution and the L1 stopping rule."""
+    from parallel_louvain_method_ray.algos.pagerank import pagerank_oracle
+
+    g, src, dst = _directed_test_graph()
+    n = g.n
+    out_w = g.degrees()
+    dangling = out_w <= 0.0
+    assert dangling.sum() > 0  # the fixture must exercise dangling mass
+    inv_out = np.zeros(n)
+    inv_out[~dangling] = 1.0 / out_w[~dangling]
+
+    for n_workers in (1, 3):
+        pool = ShardPool(g, num_workers=n_workers)
+        try:
+            ranks, info = pool.pagerank_power(
+                inv_out, dangling, damping=0.85, tol=1e-10, max_iter=60
+            )
+            # per-iteration pool loop (the pre-existing engine path)
+            r = np.full(n, 1.0 / n)
+            for _ in range(info["iterations"]):
+                incoming = pool.pagerank_iter(r * inv_out)
+                dm = float(r[dangling].sum())
+                r = 0.15 / n + 0.85 * (incoming + dm / n)
+            np.testing.assert_allclose(ranks, r, rtol=0, atol=1e-15)
+            oracle = pagerank_oracle(
+                src, dst, np.ones(src.shape[0]), n,
+                max_iter=info["iterations"], tol=0.0,
+            )
+            np.testing.assert_allclose(ranks, oracle, rtol=0, atol=1e-12)
+        finally:
+            pool.shutdown()
+
+
+def test_pagerank_power_personalized():
+    g, _, _ = _directed_test_graph(seed=11)
+    n = g.n
+    out_w = g.degrees()
+    dangling = out_w <= 0.0
+    inv_out = np.zeros(n)
+    inv_out[~dangling] = 1.0 / out_w[~dangling]
+    p = np.zeros(n)
+    p[:7] = 1.0
+    p /= p.sum()
+    pool = ShardPool(g, num_workers=2)
+    try:
+        ranks, _ = pool.pagerank_power(
+            inv_out, dangling, damping=0.85, tol=0.0, max_iter=9, p=p
+        )
+        r = p.copy()
+        for _ in range(9):
+            incoming = pool.pagerank_iter(r * inv_out)
+            dm = float(r[dangling].sum())
+            r = 0.15 * p + 0.85 * (incoming + dm * p)
+        np.testing.assert_allclose(ranks, r, rtol=0, atol=1e-15)
+    finally:
+        pool.shutdown()
+
+
+def test_pagerank_routes_through_sharded_power(monkeypatch):
+    """algos.pagerank must take the fully-sharded path above
+    DRIVER_REDUCE_MAX_N and return the same ranks as the driver loop."""
+    import importlib
+
+    # algos/__init__ re-exports the pagerank FUNCTION under the same name
+    # as the submodule, so a plain `import ... as` resolves to the function
+    pr_mod = importlib.import_module(
+        "parallel_louvain_method_ray.algos.pagerank"
+    )
+
+    g, _, _ = _directed_test_graph(seed=3)
+    r_loop, m_loop = pr_mod.pagerank(g, tol=1e-12, max_iter=40)
+    monkeypatch.setattr(ShardPool, "DRIVER_REDUCE_MAX_N", 10)
+    r_shard, m_shard = pr_mod.pagerank(g, tol=1e-12, max_iter=40)
+    assert m_shard["iterations"] == m_loop["iterations"]
+    np.testing.assert_allclose(r_shard, r_loop, rtol=0, atol=1e-15)
