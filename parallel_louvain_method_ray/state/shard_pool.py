@@ -187,23 +187,25 @@ class ShardWorker:
             if delta_v is not None and delta_v.shape[0]:
                 old = assign[delta_v].astype(np.int64)
                 dw = deg[delta_v]
-                if delta_v.shape[0] * 64 < n:
-                    # few moves: O(moves) scatter updates
-                    np.subtract.at(tot, old, dw)
-                    np.add.at(tot, delta_c, dw)
-                    np.subtract.at(csize, old, 1)
-                    np.add.at(csize, delta_c, 1)
-                else:
-                    # move-heavy rounds: ufunc.at's ~0.3us/index made the
-                    # delta apply cost MORE than a full O(n) rebuild
-                    # (measured 0.6-0.95s/worker at 700k moves, n=1.3M);
-                    # bincount accumulates the same sums at memcpy speed
-                    tot += np.bincount(delta_c, weights=dw, minlength=n)
-                    tot -= np.bincount(old, weights=dw, minlength=n)
-                    dcs = np.bincount(delta_c, minlength=n) - np.bincount(
-                        old, minlength=n
-                    )
-                    csize += dcs.astype(csize.dtype)
+                # compressed scatter-add: unique the touched comm ids,
+                # bincount per-comm sums over the inverse index, and add
+                # to the O(n) arrays at O(distinct) entries. Replaces both
+                # earlier branches — ufunc.at (~0.3us/index: 0.5s/worker
+                # at 400k moves) AND the move-heavy fallback's FOUR dense
+                # O(n)-alloc bincounts (~4 GB of DRAM traffic per worker
+                # per sweep at n=51M). O(moves log moves), no O(n) term.
+                keys = np.concatenate([old, delta_c])
+                uq, inv = np.unique(keys, return_inverse=True)
+                sw = np.concatenate([-dw, dw])
+                tot[uq] += np.bincount(inv, weights=sw, minlength=uq.shape[0])
+                cnt = np.bincount(
+                    inv,
+                    weights=np.concatenate(
+                        [np.full(old.shape[0], -1.0), np.ones(old.shape[0])]
+                    ),
+                    minlength=uq.shape[0],
+                )
+                csize[uq] += cnt.astype(csize.dtype)
                 assign[delta_v] = delta_c.astype(idt)
         else:
             assign = np.array(assign_in, dtype=idt)
