@@ -373,6 +373,9 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
             "sweep_sec_min": round(sweep_min, 4),
             "sweep_sec_median": round(sorted(sweep_secs[2:])[len(sweep_secs[2:]) // 2], 4),
             "pagerank_iter_sec_min": round(pr_min, 4),
+            "pagerank_iter_sec_median": round(
+                sorted(pr_secs[1:])[len(pr_secs[1:]) // 2], 4
+            ),
         },
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "num_cpus": num_cpus,
@@ -408,10 +411,23 @@ def main() -> None:
         results = {}
         # ALTERNATE the legs (8, 32, 8, 32, ...) so fluctuating external
         # load on the shared box hits both CPU levels evenly; keep the
-        # best (least-disturbed) run per leg
-        for cpus in [8, 32] * repeats:
+        # best (least-disturbed) run per leg. Legs share the on-disk
+        # graph/assignment cache (default /tmp/gcache — the graph is
+        # deterministic and parallelism-independent) so each leg's timed
+        # phase fits inside a quiet window on the shared box; an extra
+        # retry is granted per CPU count while every leg so far looks
+        # contaminated (sweep median/min > 1.35 — an external burst
+        # mid-leg fattens the median; see BASELINE.md noise protocol).
+        schedule = [8, 32] * repeats
+        extra_budget = {8: 1, 32: 1}
+        clean_seen = {8: False, 32: False}
+        i = 0
+        while i < len(schedule):
+            cpus = schedule[i]
+            i += 1
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
+            env.setdefault("GRAFT_GRAPH_CACHE", "/tmp/gcache")
             out = subprocess.run(
                 [
                     sys.executable,
@@ -427,6 +443,21 @@ def main() -> None:
                 check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            q = r["queries"]
+            # PageRank runs at the END of a leg, so a burst can ruin it
+            # while the sweeps look clean — gate on both phases (pr
+            # rounds are shorter, hence jittier: looser bound)
+            is_clean = (
+                q["sweep_sec_median"] / max(q["sweep_sec_min"], 1e-9) <= 1.35
+                and q["pagerank_iter_sec_median"]
+                / max(q["pagerank_iter_sec_min"], 1e-9)
+                <= 2.0
+            )
+            if is_clean:
+                clean_seen[cpus] = True
+            elif not clean_seen[cpus] and extra_budget[cpus] > 0:
+                extra_budget[cpus] -= 1
+                schedule.append(cpus)
             best = results.get(cpus)
             if best is None or r["edges_per_sec"] > best["edges_per_sec"]:
                 results[cpus] = r
