@@ -123,6 +123,14 @@ class ShardWorker:
                 sub = block.take(pa.array(rows, type=pa.int64()))
                 self.shards.extend(unpack_shards(sub))
             gidx += block.num_rows
+        # unit-weight detection, once per level: deduped link graphs have
+        # every entry weight == 1.0, letting the sweep kernel skip the
+        # weights stream entirely (8 B/entry of DRAM traffic on a
+        # bandwidth-bound kernel) and use count-bincounts
+        self._unit_w = [
+            bool(sh.weights.shape[0] == 0 or np.all(sh.weights == 1.0))
+            for sh in self.shards
+        ]
         # int32 CSR ids when they fit: the sweep kernels are memory-
         # bandwidth-bound (random gathers over cols/vids), so halving the
         # id width is a direct throughput win (BASELINE.md scaling note).
@@ -225,7 +233,7 @@ class ShardWorker:
         tot0 = tot.copy() if not canonical else None
         t_state = _time.perf_counter()
         t_kernel = 0.0
-        for shard in self.shards:
+        for si, shard in enumerate(self.shards):
             if not canonical:
                 # reference-mode GS perturbs tot even for non-movers
                 # ((x-d)+d float round-trip), so the touched-entry restore
@@ -249,6 +257,7 @@ class ShardWorker:
                     chunk=chunk,
                     active=active_in,
                     undo_log=undo_log,
+                    unit_weights=self._unit_w[si],
                 )
             else:
                 local_move_sweep(

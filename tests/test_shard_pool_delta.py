@@ -144,3 +144,47 @@ def test_pagerank_routes_through_sharded_power(monkeypatch):
     r_shard, m_shard = pr_mod.pagerank(g, tol=1e-12, max_iter=40)
     assert m_shard["iterations"] == m_loop["iterations"]
     np.testing.assert_allclose(r_shard, r_loop, rtol=0, atol=1e-15)
+
+
+def test_unit_weight_kernel_path_bit_identical():
+    """unit_weights=True (count bincounts, no weights stream) must be
+    bit-identical to the weighted path on an all-1.0 graph: summing 1.0s
+    in float64 IS counting."""
+    from parallel_louvain_method_ray.algos._local_move import (
+        chunked_local_move_sweep,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    src = rng.integers(0, n, 25000)
+    dst = rng.integers(0, n, 25000)
+    keep = src != dst
+    pairs = np.unique(src[keep] * n + dst[keep])
+    s = np.concatenate([pairs // n, pairs % n]).astype(np.int64)
+    d = np.concatenate([pairs % n, pairs // n]).astype(np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    w = np.ones(s.shape[0])
+    vids, counts = np.unique(s, return_counts=True)
+    indptr = np.zeros(vids.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    deg = np.bincount(s, weights=w, minlength=n)
+    m2 = float(w.sum())
+
+    states = []
+    for unit in (False, True):
+        comm = np.arange(n, dtype=np.int32)
+        tot = deg.copy()
+        csize = np.ones(n, dtype=np.int32)
+        moves = 0
+        for _ in range(3):  # a few sweeps so paths diverge if wrong
+            moves += chunked_local_move_sweep(
+                vids, indptr, d, w, comm, tot, deg, m2,
+                csize=csize, chunk=256, unit_weights=unit,
+            )
+        states.append((comm, tot, csize, moves))
+    (c0, t0, s0, m0), (c1, t1, s1, m1) = states
+    assert m0 == m1
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(s0, s1)
+    np.testing.assert_array_equal(t0, t1)  # bit-identical, not allclose
