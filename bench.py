@@ -256,6 +256,7 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
     # the measured phase into the next external-load burst.
     cache_root = os.environ.get("GRAFT_GRAPH_CACHE")
     graph = None
+    graph_cache_hit = False
     t0 = time.time()
     if cache_root:
         cdir = os.path.join(
@@ -281,6 +282,7 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
                 degrees_ref=ray.put(degrees),
                 config=cfg,
             )
+            graph_cache_hit = True
     if graph is None:
         edges = ray.data.range(n_pages).map_batches(
             gen_edges, batch_format="pyarrow"
@@ -319,7 +321,8 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
     assign_path = (
         os.path.join(cdir, "assign.npy") if cache_root else None
     )
-    if assign_path and os.path.exists(assign_path):
+    warm_start = bool(assign_path and os.path.exists(assign_path))
+    if warm_start:
         assign = np.load(assign_path)
     else:
         assign = np.arange(graph.n, dtype=np.int64)
@@ -381,6 +384,11 @@ def run_scaling_unit(sf_dir: str, num_cpus: int, mult: int) -> dict:
         "num_cpus": num_cpus,
         "n_entries": graph.n_entries,
         "louvain_sweeps": n_sweeps,
+        # ADVICE r4: flag warm legs so cross-round comparisons of recorded
+        # numbers can tell cold and warm sweeps apart (warm-started sweeps
+        # measure steady-state rounds, not the move-heavy ramp)
+        "graph_cache_hit": graph_cache_hit,
+        "warm_start": warm_start,
         "edges_per_sec": round(
             2 * graph.n_entries / (sweep_min + pr_min), 1
         ),
@@ -477,6 +485,14 @@ def main() -> None:
                         "sweep_sec_8cpu": results[8]["value"],
                         "sweep_sec_32cpu": results[32]["value"],
                     },
+                    "warm_start_8cpu": results[8].get("warm_start", False),
+                    "warm_start_32cpu": results[32].get("warm_start", False),
+                    "graph_cache_hit_8cpu": results[8].get(
+                        "graph_cache_hit", False
+                    ),
+                    "graph_cache_hit_32cpu": results[32].get(
+                        "graph_cache_hit", False
+                    ),
                     "sf": results[32]["sf"],
                     "num_cpus": 32,
                 }

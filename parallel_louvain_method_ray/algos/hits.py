@@ -36,14 +36,19 @@ def _pass(
         xs = ray.get(x_ref)
         s = batch.column(src_col).to_numpy(zero_copy_only=False)
         d = batch.column(dst_col).to_numpy(zero_copy_only=False)
-        if len(s) and (s.max() >= n or d.max() >= n or s.min() < 0 or d.min() < 0):
-            # bincount(minlength=n) silently GROWS past n on an oversized
-            # endpoint and then np.add.at on the size-n driver array dies
-            # with an opaque IndexError (ADVICE r3) — fail loud instead
-            raise ValueError(
-                f"hits: edge endpoint out of range [0, {n}) "
-                f"(src range [{s.min()}, {s.max()}], dst range [{d.min()}, {d.max()}])"
-            )
+        if len(s):
+            s_min, s_max = s.min(), s.max()
+            d_min, d_max = d.min(), d.max()
+            if s_max >= n or d_max >= n or s_min < 0 or d_min < 0:
+                # bincount(minlength=n) silently GROWS past n on an
+                # oversized endpoint and then np.add.at on the size-n
+                # driver array dies with an opaque IndexError (ADVICE r3)
+                # — fail loud instead
+                raise ValueError(
+                    f"hits: edge endpoint out of range [0, {n}) "
+                    f"(src range [{s_min}, {s_max}], "
+                    f"dst range [{d_min}, {d_max}])"
+                )
         w = (
             batch.column(weight_col)
             .to_numpy(zero_copy_only=False)

@@ -1211,6 +1211,8 @@ def hits_joined(
     tier of `algos.hits.hits` (same fixed-iteration L1-normalized
     half-steps over the DIRECTED edge table). Returns one Dataset
     (vid, hub, authority) over vids 0..n-1."""
+    if iters < 1:
+        raise ValueError(f"hits_joined: iters must be >= 1, got {iters}")
     P = _size_aware_P(n, partitions)
 
     def prep(b: pa.Table) -> pa.Table:

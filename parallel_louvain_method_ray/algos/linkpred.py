@@ -46,6 +46,12 @@ from parallel_louvain_method_ray.algos.joined import (
 from parallel_louvain_method_ray.algos.kcore import undirected_dedup
 
 
+# `max_middle_degree="auto"` derives a cap from the degree histogram only
+# above this many undirected edges — below it the exact (cap=None) plan is
+# cheap and keeps the oracle hashes exact at test scale.
+AUTO_CAP_MIN_EDGES = 2_000_000
+
+
 def _both_dirs(batch: pa.Table) -> pa.Table:
     a = batch.column("a").combine_chunks()
     b = batch.column("b").combine_chunks()
@@ -61,19 +67,33 @@ def _wedge_plan(
     edges: ray.data.Dataset,
     src_col: str,
     dst_col: str,
-    max_middle_degree: int | None,
+    max_middle_degree: int | None | str,
 ):
     """Shared front half: returns (und, sym2, deg, wedges, P).
 
     und: distinct (a < b) pairs. sym2: both directions (w, v).
     deg: (w, d) middle degrees. wedges: (w, va, d, vb) with va < vb,
-    deg(middle) carried on every row."""
+    deg(middle) carried on every row.
+
+    max_middle_degree: int cap, None (exact), or "auto" — exact below
+    AUTO_CAP_MIN_EDGES, histogram-derived cap above it (the default-path
+    O(sum d^2) defense on hub-heavy graphs)."""
     und = undirected_dedup(edges, src_col, dst_col).materialize()
     n_edges = und.count()
     P = _size_aware_P(n_edges * 2)
 
     sym2 = und.map_batches(_both_dirs, batch_format="pyarrow")
     deg = _rename(sym2.groupby("w").count(), ["w", "d"])
+
+    if max_middle_degree == "auto":
+        if n_edges <= AUTO_CAP_MIN_EDGES:
+            max_middle_degree = None
+        else:
+            from parallel_louvain_method_ray.algos.degree_stats import (
+                derive_middle_degree_cap,
+            )
+
+            max_middle_degree = derive_middle_degree_cap(deg, n_edges * 2)
 
     spokes = _select(
         _join(_rename(sym2, ["w", "va"]), deg, on=("w",), P=P),
@@ -117,14 +137,15 @@ def adamic_adar(
     edges: ray.data.Dataset,
     src_col: str = "src",
     dst_col: str = "dst",
-    max_middle_degree: int | None = None,
+    max_middle_degree: int | None | str = None,
 ) -> ray.data.Dataset:
     """-> (src, dst, score) for non-adjacent pairs with >= 1 common
     neighbor; src < dst; score rounded to 9 decimals.
 
     `max_middle_degree`: exclude common-neighbor middles with degree
-    above the cap (None = exact). Capped runs under-count each affected
-    pair by at most (wedges via hubs) x 1/ln(cap+1)."""
+    above the cap (None = exact; "auto" = exact below AUTO_CAP_MIN_EDGES,
+    histogram-derived above). Capped runs under-count each affected pair
+    by at most (wedges via hubs) x 1/ln(cap+1)."""
     und, _deg, wedges, P = _wedge_plan(
         edges, src_col, dst_col, max_middle_degree
     )
@@ -174,7 +195,7 @@ def jaccard_links(
     edges: ray.data.Dataset,
     src_col: str = "src",
     dst_col: str = "dst",
-    max_middle_degree: int | None = None,
+    max_middle_degree: int | None | str = None,
 ) -> ray.data.Dataset:
     """Jaccard link prediction: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for
     non-adjacent pairs with >= 1 common neighbor. Same wedge plan as

@@ -2077,19 +2077,34 @@ def q_domain_link_graph(sf_dir: str):
 def q_web_adamic_adar(sf_dir: str):
     """Adamic-Adar link prediction on the web link graph: non-adjacent
     pairs scored by sum(1/ln(deg)) over common neighbors — wedge join ⋈
-    degrees -> groupby, existing edges anti-filtered (algos/linkpred.py)."""
+    degrees -> groupby, existing edges anti-filtered (algos/linkpred.py).
+    max_middle_degree="auto": exact at oracle scale (< AUTO_CAP_MIN_EDGES),
+    degree-histogram-derived hub cap above it (the O(sum d^2) defense)."""
     from parallel_louvain_method_ray.algos.linkpred import adamic_adar
 
-    return adamic_adar(q_web_link_edges(sf_dir))
+    return adamic_adar(q_web_link_edges(sf_dir), max_middle_degree="auto")
+
+
+def q_web_adamic_adar_capped(sf_dir: str):
+    """Adamic-Adar with an explicit hub cap (max_middle_degree=8): wedges
+    through middles with degree > 8 are dropped BEFORE the wedge join —
+    the plan shape the auto cap selects on hub-heavy graphs at scale. The
+    SQL oracle applies the identical middle-degree filter, so the capped
+    path is hash-checked end to end (not just recall-tested)."""
+    from parallel_louvain_method_ray.algos.linkpred import adamic_adar
+
+    return adamic_adar(q_web_link_edges(sf_dir), max_middle_degree=8)
 
 
 def q_web_jaccard_links(sf_dir: str):
     """Jaccard link prediction (|∩| / |∪| over neighbor sets) for
-    non-adjacent web pages — same wedge plan as Adamic-Adar with a
-    broadcast degree map for the union size."""
+    non-adjacent web pages — same wedge plan as Adamic-Adar; the endpoint
+    degrees for the union size are attached with two joins against the
+    (small) pair table (algos/linkpred.py:jaccard_links, no driver state).
+    max_middle_degree="auto" as in q_web_adamic_adar."""
     from parallel_louvain_method_ray.algos.linkpred import jaccard_links
 
-    return jaccard_links(q_web_link_edges(sf_dir))
+    return jaccard_links(q_web_link_edges(sf_dir), max_middle_degree="auto")
 
 
 def q_web_hits3(sf_dir: str):
@@ -2506,6 +2521,31 @@ ORACLE_SQL.update(
                 SELECT 1 FROM und
                 WHERE und.a = scored.a AND und.b = scored.b)
         """,
+        "web_adamic_adar_capped": f"""
+            WITH {_WEB_LNK_CTES},
+            und AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b
+                    FROM lnk WHERE i <> j),
+            sym2 AS (SELECT a AS w, b AS v FROM und
+                     UNION ALL SELECT b AS w, a AS v FROM und),
+            deg AS (SELECT w, count(*) AS d FROM sym2 GROUP BY w),
+            -- the hub cap: wedges only through middles with deg <= 8
+            wedge AS (
+                SELECT s1.v AS a, s2.v AS b, s1.w AS w
+                FROM sym2 s1 JOIN sym2 s2 ON s1.w = s2.w
+                JOIN deg dm ON dm.w = s1.w AND dm.d <= 8
+                WHERE s1.v < s2.v
+            ),
+            scored AS (
+                SELECT wedge.a, wedge.b,
+                       sum(1.0 / ln(deg.d)) AS s
+                FROM wedge JOIN deg ON deg.w = wedge.w
+                GROUP BY wedge.a, wedge.b
+            )
+            SELECT a AS src, b AS dst, round(s, 9) AS score FROM scored
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und
+                WHERE und.a = scored.a AND und.b = scored.b)
+        """,
         "web_kcore7": _web_kcore7_sql(),
         "web_hits3_joined": _web_hits3_sql(),
         "web_kcore7_joined": _web_kcore7_sql(),
@@ -2598,6 +2638,7 @@ QUERIES.update(
         "domain_link_graph": q_domain_link_graph,
         "web_hits3": q_web_hits3,
         "web_adamic_adar": q_web_adamic_adar,
+        "web_adamic_adar_capped": q_web_adamic_adar_capped,
         "web_jaccard_links": q_web_jaccard_links,
         "web_kcore7": q_web_kcore7,
         "web_hits3_joined": q_web_hits3_joined,
@@ -2742,3 +2783,49 @@ QUERIES["louvain_first_sweep"] = q_louvain_first_sweep
 ORACLE_SQL["louvain_first_sweep_joined"] = ORACLE_SQL["louvain_first_sweep"]
 
 _register_kronecker_oracles()
+
+
+# ---------------------------------------------------------------------------
+# registry ordering for the driver's correctness gate
+# ---------------------------------------------------------------------------
+# The driver hard-gates the FIRST 50 dict entries (dict order). Rounds 1-4
+# gated the old prefix, so 23 of the 80 queries (the web_* family, media
+# decode, the analytics joins, shuffle anti/semi) never produced a driver
+# CORRECTNESS row. Lead with exactly those so every operator family gets a
+# hard-gate row; the rotated-out tail (louvain parity family, dedup/sim
+# signatures) is over-covered by pytest and by four rounds of green gates.
+_GATE_FIRST = [
+    # web link-graph family (extract -> edges -> algorithms)
+    "web_link_edges",
+    "domain_link_graph",
+    "web_hits3",
+    "web_adamic_adar",
+    "web_adamic_adar_capped",
+    "web_jaccard_links",
+    "web_kcore7",
+    "web_hits3_joined",
+    "web_kcore7_joined",
+    # multimodal decode
+    "media_image_decode",
+    "media_audio_decode",
+    "media_video_frames",
+    # text analytics
+    "tfidf_top5",
+    "doc_chunks",
+    "doc_length_quantiles",
+    "doc_sample_10pct",
+    # relational / join operators
+    "top_orders_per_customer",
+    "customers_without_events",
+    "customers_with_orders",
+    "customers_without_events_shuffle",
+    "customers_with_orders_shuffle",
+    "events_orders_asof",
+    "part_price_bands",
+    "events_tumbling",
+]
+assert set(_GATE_FIRST) <= set(QUERIES), sorted(set(_GATE_FIRST) - set(QUERIES))
+QUERIES = {
+    **{k: QUERIES[k] for k in _GATE_FIRST},
+    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_FIRST)},
+}

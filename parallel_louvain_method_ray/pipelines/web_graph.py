@@ -170,6 +170,18 @@ def web_edge_table(
             raise AssertionError(
                 f"text invariant violated on {bad} pages (extracted != stored)"
             )
+        # links_to_edges' batch-local anchor aggregation REQUIRES one row
+        # per url (a re-crawled corpus with duplicate urls would silently
+        # split n_anchors across rows); distinct-count the pruned url
+        # column to assert it. Group count is O(V) rows shuffled, driver
+        # sees only the scalar.
+        n_rows = extracted.count()
+        n_urls = extracted.select_columns(["url"]).groupby("url").count().count()
+        if n_urls != n_rows:
+            raise AssertionError(
+                f"duplicate page urls: {n_rows} rows but {n_urls} distinct "
+                "urls — dedupe the pages table before web_edge_table"
+            )
     edges_str = links_to_edges(extracted)
     edges, vertices, n = renumber_urls(edges_str)
     return edges, vertices, n

@@ -82,8 +82,14 @@ class HtmlExtractor:
             # fast paths for the two overwhelmingly common shapes —
             # urljoin's generic parse was ~half the per-page extract cost
             if h.startswith("https://") or h.startswith("http://"):
+                # exact urljoin behavior: an absolute href is returned
+                # verbatim (urljoin does NOT dot-normalize absolute URLs)
                 out.append(h)
-            elif h.startswith("/") and not h.startswith("//"):
+            elif h.startswith("/") and not h.startswith("//") and "/." not in h:
+                # root-relative WITHOUT dot segments — urljoin would apply
+                # RFC-3986 remove_dot_segments to '/a/../b'; such hrefs
+                # (and '/a/./b', trailing '/.') take the slow path below
+                # so vertex identities match the urljoin-based extraction
                 if root is None:
                     m = self._root.match(base_url)
                     root = m.group(0) if m else ""
@@ -157,12 +163,18 @@ def links_to_edges(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """(url, links) -> (src_url, dst_url, n_anchors) — one row per
     distinct (src, dst) anchor pair, n_anchors = number of anchors.
 
-    NO shuffle: a duplicate (src, dst) pair can only come from repeated
-    anchors within ONE page's link list (the src IS the page, and each
-    page is exactly one row), so the anchor-count aggregation is
-    batch-local — Arrow's C++ group_by inside map_batches. The previous
-    global string-keyed `groupby` shuffled every anchor pair for nothing
-    (~6 s of the 13 s extract stage at sf0.1/32cpu)."""
+    PRECONDITION: `extracted` has exactly ONE row per url (a re-crawled
+    corpus with duplicate urls would emit duplicate (src, dst) rows with
+    n_anchors split between them). `web_edge_table(check_invariant=True)`
+    asserts this; callers feeding this function directly must dedupe
+    pages first.
+
+    NO shuffle given the precondition: a duplicate (src, dst) pair can
+    only come from repeated anchors within ONE page's link list (the src
+    IS the page, and each page is exactly one row), so the anchor-count
+    aggregation is batch-local — Arrow's C++ group_by inside map_batches.
+    The previous global string-keyed `groupby` shuffled every anchor pair
+    for nothing (~6 s of the 13 s extract stage at sf0.1/32cpu)."""
 
     def explode_count(batch: pa.Table) -> pa.Table:
         import numpy as np
