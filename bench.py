@@ -416,8 +416,17 @@ def main() -> None:
         # engine (see BASELINE.md scaling evidence v3).
         mult = args.mult or int(os.environ.get("GRAFT_SCALING_MULT", "1280"))
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        # N and 4N stand-in CPU counts (GRAFT_SCALING_LEGS="lo,hi").
+        # Default 8,32; 4,16 is the documented alternative when the
+        # single node's DRAM ceiling binds the 32-CPU leg (the probe in
+        # tools/kernel_concurrency_probe.py flatlines from ~K=8 — see
+        # BASELINE.md scaling evidence).
+        lo, hi = (
+            int(x)
+            for x in os.environ.get("GRAFT_SCALING_LEGS", "8,32").split(",")
+        )
         results = {}
-        # ALTERNATE the legs (8, 32, 8, 32, ...) so fluctuating external
+        # ALTERNATE the legs (lo, hi, lo, hi, ...) so fluctuating external
         # load on the shared box hits both CPU levels evenly; keep the
         # best (least-disturbed) run per leg. Legs share the on-disk
         # graph/assignment cache (default /tmp/gcache — the graph is
@@ -426,9 +435,9 @@ def main() -> None:
         # retry is granted per CPU count while every leg so far looks
         # contaminated (sweep median/min > 1.35 — an external burst
         # mid-leg fattens the median; see BASELINE.md noise protocol).
-        schedule = [8, 32] * repeats
-        extra_budget = {8: 1, 32: 1}
-        clean_seen = {8: False, 32: False}
+        schedule = [lo, hi] * repeats
+        extra_budget = {lo: 1, hi: 1}
+        clean_seen = {lo: False, hi: False}
         i = 0
         while i < len(schedule):
             cpus = schedule[i]
@@ -470,9 +479,9 @@ def main() -> None:
             if best is None or r["edges_per_sec"] > best["edges_per_sec"]:
                 results[cpus] = r
             time.sleep(10)  # let the previous Ray cluster fully drain
-        eps8 = results[8]["edges_per_sec"]
-        eps32 = results[32]["edges_per_sec"]
-        eff = (eps32 / eps8) / (32 / 8)
+        eps_lo = results[lo]["edges_per_sec"]
+        eps_hi = results[hi]["edges_per_sec"]
+        eff = (eps_hi / eps_lo) / (hi / lo)
         print(
             json.dumps(
                 {
@@ -480,21 +489,22 @@ def main() -> None:
                     "value": round(eff, 3),
                     "unit": "ratio",
                     "queries": {
-                        "edges_per_sec_8cpu": eps8,
-                        "edges_per_sec_32cpu": eps32,
-                        "sweep_sec_8cpu": results[8]["value"],
-                        "sweep_sec_32cpu": results[32]["value"],
+                        f"edges_per_sec_{lo}cpu": eps_lo,
+                        f"edges_per_sec_{hi}cpu": eps_hi,
+                        f"sweep_sec_{lo}cpu": results[lo]["value"],
+                        f"sweep_sec_{hi}cpu": results[hi]["value"],
                     },
-                    "warm_start_8cpu": results[8].get("warm_start", False),
-                    "warm_start_32cpu": results[32].get("warm_start", False),
-                    "graph_cache_hit_8cpu": results[8].get(
+                    "legs": [lo, hi],
+                    f"warm_start_{lo}cpu": results[lo].get("warm_start", False),
+                    f"warm_start_{hi}cpu": results[hi].get("warm_start", False),
+                    f"graph_cache_hit_{lo}cpu": results[lo].get(
                         "graph_cache_hit", False
                     ),
-                    "graph_cache_hit_32cpu": results[32].get(
+                    f"graph_cache_hit_{hi}cpu": results[hi].get(
                         "graph_cache_hit", False
                     ),
-                    "sf": results[32]["sf"],
-                    "num_cpus": 32,
+                    "sf": results[hi]["sf"],
+                    "num_cpus": hi,
                 }
             )
         )

@@ -51,26 +51,39 @@ def renumber_urls(
         )
         return pa.table({"url": pa.array(u, pa.string())})
 
-    distinct = (
-        edges_str.map_batches(urls_of, batch_format="pyarrow")
-        .groupby("url")
-        .count()
-        .select_columns(["url"])
-        .materialize()
-    )
-    n = distinct.count()
-    if n > max_driver_ids:
+    # per-block distinct endpoints — the only distributed pass over the
+    # edge strings. The tier gate uses the SUM of per-block distinct counts
+    # (an upper bound on the global distinct count), so the driver-side
+    # dedupe below is bounded by max_driver_ids BEFORE any driver work.
+    blk_distinct = edges_str.map_batches(
+        urls_of, batch_format="pyarrow"
+    ).materialize()
+    bound = blk_distinct.count()
+    if bound > max_driver_ids:
+        # scale path: a real distinct (one groupby shuffle) + sort-rank
+        # dense ids + two hash joins — no O(V) driver state
         from parallel_louvain_method_ray.graph.build import assign_dense_ids
 
+        distinct = (
+            blk_distinct.groupby("url").count().select_columns(["url"])
+        )
         vertices = assign_dense_ids(distinct, "url")
+        n = vertices.count()
         edges = _renumber_urls_join(edges_str, vertices)
         return edges, vertices, n
 
+    # broadcast tier: the driver holds the sorted distinct-url array anyway
+    # (searchsorted rewrite), so dedupe HERE instead of paying a groupby
+    # shuffle first — Ray Data's sort-based aggregate costs ~per-distinct-
+    # key Python combine (measured ~7 s at 50k keys), pure overhead when
+    # the driver repeats the sort+unique in milliseconds.
     parts = [
         pa.table(b).column("url").to_numpy(zero_copy_only=False)
-        for b in distinct.iter_batches(batch_format="pyarrow")
+        for b in blk_distinct.iter_batches(batch_format="pyarrow")
     ]
-    urls = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+    urls = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+    )
     ref = ray.put(urls)
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -173,10 +186,21 @@ def web_edge_table(
         # links_to_edges' batch-local anchor aggregation REQUIRES one row
         # per url (a re-crawled corpus with duplicate urls would silently
         # split n_anchors across rows); distinct-count the pruned url
-        # column to assert it. Group count is O(V) rows shuffled, driver
-        # sees only the scalar.
+        # column to assert it. Below 20M rows the driver unique()s the
+        # column directly (same cost class as renumber_urls' broadcast
+        # tier); above it one distinct groupby shuffle, scalar to driver.
         n_rows = extracted.count()
-        n_urls = extracted.select_columns(["url"]).groupby("url").count().count()
+        url_col = extracted.select_columns(["url"])
+        if n_rows <= 20_000_000:
+            parts = [
+                pa.table(b).column("url").to_numpy(zero_copy_only=False)
+                for b in url_col.iter_batches(batch_format="pyarrow")
+            ]
+            n_urls = (
+                int(np.unique(np.concatenate(parts)).shape[0]) if parts else 0
+            )
+        else:
+            n_urls = url_col.groupby("url").count().count()
         if n_urls != n_rows:
             raise AssertionError(
                 f"duplicate page urls: {n_rows} rows but {n_urls} distinct "

@@ -621,10 +621,14 @@ class ShardPool:
 
     # below this vertex count the driver sums the W dense partials itself:
     # the reduce-scatter's fan-out (W^2 slice objects + 2W task schedules)
-    # costs more than W small memcpy-adds — at mult=256 (n=1.3M, W=16) the
-    # scatter made PageRank the non-scaling term of the whole bench
-    # (8->32 CPU ratio 1.26x while sweeps hit 2.7x)
-    DRIVER_REDUCE_MAX_N = 4_000_000
+    # costs more than W small memcpy-adds. r4 set this to 4M when the
+    # scatter was the mult=256 anti-scaling term — but that predated the
+    # late-r4 fully-sharded pagerank_power (cached pr_index, sparse
+    # partials): re-measured at n=1.28M/W=16 the DRIVER reduce is now the
+    # anti-scaling term (8cpu 0.24 s -> 32cpu 0.46 s per iter, W dense
+    # fetch+add serialized on one core) while the sharded path scales
+    # (0.17 -> ~0.1 s). Gate lowered to 1M accordingly (r5).
+    DRIVER_REDUCE_MAX_N = 1_000_000
 
     def pagerank_iter(self, scaled) -> np.ndarray:
         ref = ray.put(scaled)

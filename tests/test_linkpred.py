@@ -114,3 +114,74 @@ def test_no_driver_materialization_in_source():
     src = inspect.getsource(linkpred)
     for banned in ("iter_batches", "to_pandas", "take_all", "ray.put", "<< "):
         assert banned not in src, f"driver-side materialization: {banned!r}"
+
+
+def test_auto_cap_exact_below_threshold():
+    """max_middle_degree="auto" must resolve to the EXACT plan below
+    AUTO_CAP_MIN_EDGES (oracle hashes depend on it)."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    exact = _collect(adamic_adar(_edges_ds(pairs))).sort_values(
+        ["src", "dst"]
+    )
+    auto = _collect(
+        adamic_adar(_edges_ds(pairs), max_middle_degree="auto")
+    ).sort_values(["src", "dst"])
+    assert exact.reset_index(drop=True).equals(auto.reset_index(drop=True))
+
+
+def test_derive_middle_degree_cap_hub_fixture():
+    """The histogram-derived cap must (a) return None when the exact plan
+    fits the wedge budget and (b) pick a cap BELOW a planted hub's degree
+    when the hub dominates sum d^2."""
+    from parallel_louvain_method_ray.algos.degree_stats import (
+        derive_middle_degree_cap,
+    )
+
+    # tail-degree table: all degrees 4 -> sum d^2 = 16n fits any sane budget
+    tail = ray.data.from_arrow(
+        pa.table(
+            {
+                "w": np.arange(1000, dtype=np.int64),
+                "d": np.full(1000, 4, dtype=np.int64),
+            }
+        )
+    )
+    assert derive_middle_degree_cap(tail, n_spokes=4000) is None
+
+    # one 100k-degree hub over a 4-degree tail: sum d^2 = 1e10 blows the
+    # 32 x n_spokes budget; the cap must land between the tail and the hub
+    hub = ray.data.from_arrow(
+        pa.table(
+            {
+                "w": np.arange(1001, dtype=np.int64),
+                "d": np.concatenate(
+                    [np.full(1000, 4, dtype=np.int64), [100_000]]
+                ),
+            }
+        )
+    )
+    cap = derive_middle_degree_cap(hub, n_spokes=104_000)
+    assert cap is not None
+    assert 4 <= cap < 100_000
+
+    # capped-run under-count bound on the star fixture: dropping the hub
+    # middle removes exactly 1/ln(hub_deg) per leaf pair (the documented
+    # bound); every surviving wedge is exact
+    leaves = list(range(1, 9))
+    star = [(0, leaf) for leaf in leaves]
+    star += [(1, 2)]  # one non-hub wedge via middle 1/2
+    # pendant path 2-9-10: middle 9 (deg 2) survives the cap and yields
+    # the non-adjacent pair (2, 10), so the capped output is non-empty
+    star += [(2, 9), (9, 10)]
+    ds = _edges_ds(star)
+    capped = _collect(adamic_adar(ds, max_middle_degree=4))
+    full = _collect(adamic_adar(ds))
+    hub_deg = len(leaves)
+    merged = full.merge(
+        capped, on=["src", "dst"], how="left", suffixes=("_f", "_c")
+    )
+    merged["score_c"] = merged["score_c"].fillna(0.0)
+    under = merged["score_f"] - merged["score_c"]
+    # scores are rounded to 9 decimals on both sides -> 1e-8 tolerance
+    assert (under >= -1e-8).all()
+    assert (under <= 1.0 / math.log(hub_deg) + 1e-8).all()
