@@ -66,6 +66,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     cfg = EngineConfig(num_partitions=max(8, num_cpus))
     timings: dict[str, float] = {}
 
+    # prespawn the shard-pool actor processes NOW: their fork + package
+    # import (5-15 s serial after a Ray Data pipeline has run) overlaps the
+    # extract stage; reload() attaches the built graph to warm actors later
+    from parallel_louvain_method_ray.state.shard_pool import ShardPool
+
+    shared_pool = ShardPool()
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n_docs = docs.count()
     n_pages = n_docs * PAGES_MULT
@@ -99,14 +106,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # ---- louvain ----------------------------------------------------------
     t0 = time.time()
-    res = louvain(graph, cfg, m_mode="weight")
+    res = louvain(graph, cfg, m_mode="weight", pool=shared_pool)
     timings["louvain"] = time.time() - t0
     louvain_sweeps = sum(l.sweeps for l in res.levels)
-
-    # one warm shard pool shared by the remaining iterative algorithms
-    from parallel_louvain_method_ray.state.shard_pool import ShardPool
-
-    shared_pool = ShardPool(graph)
 
     # ---- pagerank (10 fixed iterations) ------------------------------------
     t0 = time.time()

@@ -568,6 +568,7 @@ def louvain(
     checkpointer=None,
     m_mode: str = "count",
     use_pool: bool = True,
+    pool=None,
 ) -> LouvainResult:
     """Multi-level Louvain: (level sweeps -> coarsen) until a level makes no
     move. Assignment composition across levels is maintained driver-side.
@@ -601,7 +602,9 @@ def louvain(
                 graph0 = graph
     from parallel_louvain_method_ray.state.shard_pool import ShardPool
 
-    pool = None
+    # `pool`: caller-owned (possibly prespawned) ShardPool — reused across
+    # levels and NOT shut down here; None = create lazily and own it.
+    own_pool = pool is None
     any_distributed = False
     try:
       for level in range(start_level, cfg.max_levels):
@@ -623,6 +626,8 @@ def louvain(
                 pool = ShardPool(graph)
             elif pool.graph is not graph:
                 pool.reload(graph)
+        elif pool is not None and not use_pool:
+            pool = None
         if local:
             assign, improved, metrics, entries = _driver_level(
                 graph,
@@ -703,7 +708,7 @@ def louvain(
               pool.reload(graph0)
           final_on_orig = modularity(graph0, membership, m_mode, pool=pool)
     finally:
-        if pool is not None:
+        if pool is not None and own_pool:
             pool.shutdown()
     return LouvainResult(
         assignments=canonicalize_labels(membership),

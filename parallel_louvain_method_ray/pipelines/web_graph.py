@@ -256,15 +256,32 @@ def flagship(
     per-vertex state is a Dataset — the pipeline never OOMs the driver,
     it just pays the join-per-round cost."""
     cfg = config or DEFAULT_CONFIG
-    pages = pages_from_documents(sf_dir, n_domains=n_domains)
-    edges, vertices, n = web_edge_table(pages)
+    # prespawn the shard-pool actors: fork + package import overlaps the
+    # extract stage instead of blocking the first Louvain sweep wave
+    # (measured 5-15 s of serial actor cold-start after a Ray Data
+    # pipeline has run on the node)
+    from parallel_louvain_method_ray.state.shard_pool import ShardPool
 
+    pool = ShardPool()
+    try:
+        pages = pages_from_documents(sf_dir, n_domains=n_domains)
+        edges, vertices, n = web_edge_table(pages)
+        return _flagship_rest(
+            cfg, pages, edges, vertices, n, pagerank_iters, output_path, pool
+        )
+    finally:
+        pool.shutdown()
+
+
+def _flagship_rest(
+    cfg, pages, edges, vertices, n, pagerank_iters, output_path, pool
+) -> ray.data.Dataset:
     from parallel_louvain_method_ray.algos.joined import _join, _rename
 
     if n <= cfg.max_broadcast_vertices:
         graph = build_graph(edges, cfg, n_vertices=n)
-        res = louvain(graph, cfg, m_mode="weight")
-        ranks, _ = pagerank(graph, max_iter=pagerank_iters)
+        res = louvain(graph, cfg, m_mode="weight", pool=pool)
+        ranks, _ = pagerank(graph, max_iter=pagerank_iters, pool=pool)
         scores = _scores_dataset(res.assignments, ranks)
     else:
         from parallel_louvain_method_ray.algos.joined import (

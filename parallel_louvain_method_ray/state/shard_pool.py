@@ -322,6 +322,12 @@ class ShardWorker:
             )
         return out
 
+    def touch(self, refs: list) -> bool:
+        """Keepalive: resolve a (fresh) plasma object so this process's
+        object-directory subscription stays warm (see _start_keepalive)."""
+        ray.get(refs[0])
+        return True
+
     def intra_weight(self, assign) -> float:
         s = 0.0
         for shard in self.shards:
@@ -540,7 +546,26 @@ class ShardPool:
     """One ShardWorker per LPT-balanced group of shard rows. `reload(graph)`
     swaps the loaded level without respawning actor processes."""
 
-    def __init__(self, graph, num_workers: int | None = None):
+    def __init__(self, graph=None, num_workers: int | None = None):
+        self._keepalive_stop = None
+        self._keepalive_thread = None
+        if graph is None:
+            # prespawn mode: start the actor processes NOW (they pay fork +
+            # package import in the background) and attach a graph later via
+            # reload(). Measured: spawning 16 ShardWorkers after a Ray Data
+            # pipeline has run costs 5-15 s serial on the critical path;
+            # prespawned at pipeline start the cost hides behind the extract
+            # stage and reload() on warm actors is ~0.1 s.
+            if num_workers is None:
+                total = int(ray.cluster_resources().get("CPU", 8))
+                num_workers = max(total // 2, 1)
+            self.workers = [
+                ShardWorker.remote([], []) for _ in range(num_workers)
+            ]
+            self.graph = None
+            self._have_sweep_state = False
+            self._start_keepalive()
+            return
         refs, assignment = _row_assignment(graph, num_workers)
         self.workers = [
             ShardWorker.remote(refs, rows) for rows in assignment if rows
@@ -550,7 +575,42 @@ class ShardPool:
         self.graph = graph
         self._have_sweep_state = False
 
+    def _start_keepalive(self) -> None:
+        """Resolve a FRESH plasma object in every worker a few times per
+        second while the rest of the pipeline churns the object store.
+        Without this, each worker's first real object resolution after a
+        Ray Data pipeline has run pays a 2.5-5.6 s cold path (measured:
+        per-consumer object-directory sync, independent of object owner,
+        size, or actor warm-up); with a warm subscription the first shard
+        load costs ~0.5 s. Runs only between prespawn and first reload()."""
+        import threading
+
+        self._keepalive_stop = threading.Event()
+
+        def loop():
+            while not self._keepalive_stop.wait(0.2):
+                try:
+                    ref = ray.put(np.zeros(20_000, np.int64))
+                    ray.get(
+                        [w.touch.remote([ref]) for w in self.workers],
+                        timeout=30,
+                    )
+                except Exception:
+                    return
+
+        self._keepalive_thread = threading.Thread(target=loop, daemon=True)
+        self._keepalive_thread.start()
+
+    def _stop_keepalive(self) -> None:
+        if self._keepalive_stop is not None:
+            self._keepalive_stop.set()
+            if self._keepalive_thread is not None:
+                self._keepalive_thread.join(timeout=60)
+            self._keepalive_stop = None
+            self._keepalive_thread = None
+
     def reload(self, graph) -> "ShardPool":
+        self._stop_keepalive()
         refs, assignment = _row_assignment(graph, len(self.workers))
         futs = []
         for i, w in enumerate(self.workers):
@@ -778,6 +838,7 @@ class ShardPool:
         return src, dst, wsum
 
     def shutdown(self):
+        self._stop_keepalive()
         for w in self.workers:
             ray.kill(w)
         self.workers = []
