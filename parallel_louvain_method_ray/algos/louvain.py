@@ -505,7 +505,20 @@ def _polish(
     n = graph0.n
     deg = graph0.degrees()
     if graph0.n_entries <= cfg.polish_driver_entries:
-        src, dst, w = _collect_entries(graph0)
+        if pool is not None and (
+            pool.graph is graph0
+            or graph0.n_entries > cfg.driver_local_entries
+        ):
+            # one wave from the warm workers' in-memory shards instead of
+            # a driver-side Dataset re-scan (~10x at bench scale). The
+            # reload to graph0 (when the pool still holds the last coarse
+            # level) is work the caller's final-modularity pass needs
+            # anyway — only forced when that pass will use the pool too.
+            if pool.graph is not graph0:
+                pool.reload(graph0)
+            src, dst, w = pool.collect_entries()
+        else:
+            src, dst, w = _collect_entries(graph0)
         order = np.lexsort((w, dst, src))
         src, dst, w = src[order], dst[order], w[order]
         indptr = np.zeros(n + 1, dtype=np.int64)

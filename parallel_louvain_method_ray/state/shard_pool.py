@@ -50,7 +50,7 @@ def _pr_reduce_slice(
     n: int,
     n_j: int,
     damping: float,
-    dm: float,
+    dm,
     inv_out_j,
     dangling_j,
     p_j,
@@ -62,7 +62,14 @@ def _pr_reduce_slice(
     and emit the NEXT round's rank slice, scaled slice (rank * inv_out,
     the workers' next input) and the two scalars the driver needs (this
     slice's dangling mass and L1 delta). The driver never touches an O(n)
-    array during iteration — its per-round work is summing 2W floats."""
+    array during iteration — its per-round work is summing 2W floats.
+
+    `dm` is either the dangling-mass float itself, or (pipelined mode) a
+    list of ObjectRefs to the previous round's W (dsum, delta) scalar
+    tuples (nested refs — resolved here), so reducers compute the global
+    dangling mass themselves and the driver never blocks mid-round."""
+    if not isinstance(dm, float):
+        dm = float(sum(s[0] for s in ray.get(list(dm))))
     W = len(idx_then_val) // 2
     idxs = idx_then_val[:W]
     vals = idx_then_val[W:]
@@ -321,6 +328,31 @@ class ShardWorker:
                 },
             )
         return out
+
+    def dump_entries(self):
+        """This worker's (src, dst, w) entry arrays — lets the driver
+        assemble a small graph's full entry list in one wave instead of
+        re-scanning the shards Dataset (used by the Louvain polish pass,
+        which is gated to driver-budget-sized graphs anyway)."""
+        from parallel_louvain_method_ray.graph.csr import shard_to_entries
+
+        srcs, dsts, ws = [], [], []
+        for shard in self.shards:
+            s, d, w = shard_to_entries(shard)
+            srcs.append(np.asarray(s, np.int64))
+            dsts.append(np.asarray(d, np.int64))
+            ws.append(w)
+        if not srcs:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        return (
+            np.concatenate(srcs),
+            np.concatenate(dsts),
+            np.concatenate(ws),
+        )
 
     def touch(self, refs: list) -> bool:
         """Keepalive: resolve a (fresh) plasma object so this process's
@@ -679,6 +711,25 @@ class ShardPool:
         ref = ray.put(assign)
         return float(sum(ray.get([w.intra_weight.remote(ref) for w in self.workers])))
 
+    def collect_entries(self):
+        """Full (src, dst, w) entry arrays of the loaded graph, assembled
+        in ONE wave from the workers' in-memory shards — ~10x faster than
+        re-scanning the shards Dataset driver-side for graphs small enough
+        to polish (the only caller)."""
+        outs = ray.get([w.dump_entries.remote() for w in self.workers])
+        outs = [o for o in outs if o[0].shape[0]]
+        if not outs:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        return (
+            np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+            np.concatenate([o[2] for o in outs]),
+        )
+
     # below this vertex count the driver sums the W dense partials itself:
     # the reduce-scatter's fan-out (W^2 slice objects + 2W task schedules)
     # costs more than W small memcpy-adds. r4 set this to 4M when the
@@ -689,6 +740,12 @@ class ShardPool:
     # fetch+add serialized on one core) while the sharded path scales
     # (0.17 -> ~0.1 s). Gate lowered to 1M accordingly (r5).
     DRIVER_REDUCE_MAX_N = 1_000_000
+
+    # minimum rank-vector slice size for the sharded power iteration's
+    # reduce-scatter: each slice costs W+3 plasma objects per round
+    # (~2-4 ms seal+get overhead each), so small vectors use fewer,
+    # bigger slices (R = ceil(n / PR_MIN_SLICE), clamped to [2, W])
+    PR_MIN_SLICE = 320_000
 
     def pagerank_iter(self, scaled) -> np.ndarray:
         ref = ray.put(scaled)
@@ -733,6 +790,7 @@ class ShardPool:
         max_iter: int = 10,
         r0: np.ndarray | None = None,
         p: np.ndarray | None = None,
+        pipeline: bool | None = None,
     ):
         """Fully-sharded power iteration: rank/scaled vectors live as W
         plasma slice refs aligned to the reduce-scatter bounds; workers
@@ -749,40 +807,53 @@ class ShardPool:
 
         n = self.graph.n
         W = len(self.workers)
-        bounds = np.linspace(0, n, W + 1).astype(np.int64)
-        ray.get([w.pr_index.remote(bounds) for w in self.workers])
+        # R reduce slices, decoupled from W: every extra slice costs
+        # W + 3 plasma objects per round (seal + get overhead ~2-4 ms
+        # each), so small rank vectors use FEWER, bigger slices — at
+        # n=1.28M / W=16 the W^2=256 value-slice objects per round were
+        # ~60% of the iteration (measured); R=4 keeps the per-slice
+        # reduce parallel enough while cutting the fan-out 4x. Summation
+        # order per dst is by worker index regardless of R, so ranks are
+        # bit-identical across R.
         if W == 1:
+            R = 1
+        else:
+            R = int(max(2, min(W, -(-n // self.PR_MIN_SLICE))))
+        bounds = np.linspace(0, n, R + 1).astype(np.int64)
+        ray.get([w.pr_index.remote(bounds) for w in self.workers])
+        if R == 1:
             idx_refs = [[self.workers[0].pr_out_index.remote()]]
             # num_returns=1 returns the 1-tuple itself; unwrap lazily in
             # the reduce call via a tiny shim is overkill — re-fetch once
             idx_refs = [[ray.put(ray.get(idx_refs[0][0])[0])]]
         else:
             idx_refs = [
-                list(w.pr_out_index.options(num_returns=W).remote())
+                list(w.pr_out_index.options(num_returns=R).remote())
                 for w in self.workers
             ]
         r = np.full(n, 1.0 / n, dtype=np.float64) if r0 is None else r0
         if p is not None and r0 is None:
             r = p.copy()
         sl = lambda a, j: a[bounds[j]:bounds[j + 1]]  # noqa: E731
-        inv_refs = [ray.put(sl(inv_out, j)) for j in range(W)]
-        dang_refs = [ray.put(sl(dangling, j)) for j in range(W)]
+        inv_refs = [ray.put(sl(inv_out, j)) for j in range(R)]
+        dang_refs = [ray.put(sl(dangling, j)) for j in range(R)]
         p_refs = [
-            ray.put(sl(p, j)) if p is not None else None for j in range(W)
+            ray.put(sl(p, j)) if p is not None else None for j in range(R)
         ]
-        r_refs = [ray.put(sl(r, j)) for j in range(W)]
-        s_refs = [ray.put(sl(r, j) * sl(inv_out, j)) for j in range(W)]
+        r_refs = [ray.put(sl(r, j)) for j in range(R)]
+        s_refs = [ray.put(sl(r, j) * sl(inv_out, j)) for j in range(R)]
         dm = float(r[dangling].sum())
         iters, delta, iter_secs = 0, np.inf, []
-        for _ in range(max_iter):
-            t0 = _time.perf_counter()
+
+        def submit_round(dm_arg):
+            nonlocal r_refs, s_refs
             val_refs = [
-                w.pr_partials.options(num_returns=W).remote(*s_refs)
-                if W > 1
+                w.pr_partials.options(num_returns=R).remote(*s_refs)
+                if R > 1
                 else [w.pr_partials.remote(*s_refs)]
                 for w in self.workers
             ]
-            if W == 1:
+            if R == 1:
                 # single worker returns the 1-tuple whole; unwrap
                 val_refs = [[ray.put(ray.get(val_refs[0][0])[0])]]
             outs = [
@@ -790,7 +861,7 @@ class ShardPool:
                     n,
                     int(bounds[j + 1] - bounds[j]),
                     damping,
-                    dm,
+                    dm_arg,
                     inv_refs[j],
                     dang_refs[j],
                     p_refs[j],
@@ -798,17 +869,63 @@ class ShardPool:
                     *[idx_refs[wk][j] for wk in range(W)],
                     *[val_refs[wk][j] for wk in range(W)],
                 )
-                for j in range(W)
+                for j in range(R)
             ]
             r_refs = [o[0] for o in outs]
             s_refs = [o[1] for o in outs]
-            scalars = ray.get([o[2] for o in outs])
-            dm = float(sum(s[0] for s in scalars))
+            return [o[2] for o in outs]
+
+        # pipelining pays only when per-worker kernel time dominates the
+        # round (large E/W): overlapping rounds on small working sets
+        # oversubscribes the node (up to 2 windows x (W partials + R
+        # reduces) concurrent zero-cpu tasks) and measured SLOWER and
+        # noisier at mult=256 (sync min 0.085 s vs pipelined 0.10-0.13)
+        # while slightly faster at mult=1280 (0.27 vs 0.30)
+        big_rounds = (
+            pipeline
+            if pipeline is not None
+            else self.graph.n_entries / max(W, 1) >= 4_000_000
+        )
+        if tol <= 0.0 and R > 1 and max_iter > 2 and big_rounds:
+            # PIPELINED mode (fixed iteration count): the previous round's
+            # scalar refs are passed INTO the next round's reducers (which
+            # sum the dangling mass themselves), so the driver never
+            # blocks mid-round to recompute dm — round k+1's partials are
+            # already scheduled while round k reduces. A 2-deep window
+            # bounds in-flight partials; iter_secs are completion GAPS of
+            # consecutive rounds (the steady-state pipelined rate — same
+            # min-of-rounds semantics the scaling bench consumes).
+            pending: list[list] = []
+            t_prev = _time.perf_counter()
+            scalars = None
+            for k in range(max_iter):
+                pending.append(
+                    submit_round(dm if k == 0 else pending[-1])
+                )
+                if len(pending) > 2:
+                    scalars = ray.get(pending.pop(0))
+                    now = _time.perf_counter()
+                    iter_secs.append(now - t_prev)
+                    t_prev = now
+                    iters += 1
+            while pending:
+                scalars = ray.get(pending.pop(0))
+                now = _time.perf_counter()
+                iter_secs.append(now - t_prev)
+                t_prev = now
+                iters += 1
             delta = float(sum(s[1] for s in scalars))
-            iter_secs.append(_time.perf_counter() - t0)
-            iters += 1
-            if delta < tol:
-                break
+        else:
+            for _ in range(max_iter):
+                t0 = _time.perf_counter()
+                scalar_refs = submit_round(dm)
+                scalars = ray.get(scalar_refs)
+                dm = float(sum(s[0] for s in scalars))
+                delta = float(sum(s[1] for s in scalars))
+                iter_secs.append(_time.perf_counter() - t0)
+                iters += 1
+                if delta < tol:
+                    break
         ranks = np.concatenate(ray.get(r_refs))
         return ranks, {
             "iterations": iters,

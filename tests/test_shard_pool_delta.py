@@ -188,3 +188,31 @@ def test_unit_weight_kernel_path_bit_identical():
     np.testing.assert_array_equal(c0, c1)
     np.testing.assert_array_equal(s0, s1)
     np.testing.assert_array_equal(t0, t1)  # bit-identical, not allclose
+
+
+def test_pagerank_power_pipelined_matches_sync():
+    """tol=0 / W>1 routes through the PIPELINED power iteration (the
+    previous round's scalar refs feed the next round's reducers, no
+    driver sync mid-round). Ranks must be bit-identical to the
+    synchronous path (tol>0) at the same iteration count."""
+    g, src, dst = _directed_test_graph(seed=13)
+    n = g.n
+    out_w = g.degrees()
+    dangling = out_w <= 0.0
+    inv_out = np.zeros(n)
+    inv_out[~dangling] = 1.0 / out_w[~dangling]
+    pool = ShardPool(g, num_workers=3)
+    try:
+        r_pipe, info_pipe = pool.pagerank_power(
+            inv_out, dangling, damping=0.85, tol=0.0, max_iter=7,
+            pipeline=True,  # force: the auto gate needs >=4M entries/worker
+        )
+        # the synchronous loop: tol>0 small enough never to trigger
+        r_sync, info_sync = pool.pagerank_power(
+            inv_out, dangling, damping=0.85, tol=1e-300, max_iter=7
+        )
+        assert info_pipe["iterations"] == info_sync["iterations"] == 7
+        np.testing.assert_array_equal(r_pipe, r_sync)
+        assert abs(info_pipe["l1_delta"] - info_sync["l1_delta"]) < 1e-15
+    finally:
+        pool.shutdown()

@@ -71,7 +71,12 @@ def _worker(seed, q):
 
 
 def main():
-    for k in (1, 4, 8, 16):
+    ks = (
+        tuple(int(x) for x in sys.argv[1].split(","))
+        if len(sys.argv) > 1
+        else (1, 2, 4, 8, 16)
+    )
+    for k in ks:
         q = mp.Queue()
         ps = [mp.Process(target=_worker, args=(s, q)) for s in range(k)]
         for p in ps:
