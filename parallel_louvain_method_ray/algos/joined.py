@@ -1060,58 +1060,29 @@ def katz_joined(
 ) -> tuple[ray.data.Dataset, dict]:
     """Katz centrality with the score vector as a Dataset (vid, katz) —
     the beyond-broadcast tier of `algos.pagerank.katz_centrality` (same
-    truncated power series x_k = alpha * A^T x_{k-1} + beta). One
-    contribution join + one groupby + one left_outer merge per iteration
-    (the PageRank shape without degree scaling or dangling mass)."""
-    P = _jg_P(jg, partitions)
-    state = _blockwise(
-        jg.degrees,
-        lambda b, _beta=beta: pa.table(
-            {
-                "vid": b.column("vid"),
-                "x": np.full(b.num_rows, _beta, dtype=np.float64),
-            }
-        ),
+    truncated power series x_k = alpha * A^T x_{k-1} + beta).
+
+    Implementation: the hash-partitioned BSP SpMV pool
+    (`state.spmv_pool.katz_partitioned`) — the score vector lives
+    sharded by vid % P across P actors, one iteration = one
+    partial-sum exchange wave plus a local affine update. The r4
+    all-Dataset version (contribution join + groupby + left_outer
+    merge PER ITERATION) spent seconds of operator fixed cost per
+    round (VERDICT r4 #7); this one still moves no O(V) data through
+    the driver (the tier's contract). See state/spmv_pool.py for the
+    partitioning assumption."""
+    from parallel_louvain_method_ray.state.spmv_pool import katz_partitioned
+
+    out, info = katz_partitioned(
+        jg.edges,
+        jg.n,
+        alpha=alpha,
+        beta=beta,
+        iters=iters,
+        weight_col="weight",
+        partitions=partitions,
     )
-    for _ in range(iters):
-        state = _tight(state, P)
-        incoming = (
-            _join(jg.edges, state, on=("src",), right_on=("vid",), P=P)
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "dst": b.column("dst"),
-                        "c": b.column("weight").to_numpy(zero_copy_only=False)
-                        * b.column("x").to_numpy(zero_copy_only=False),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("dst")
-            .sum("c")
-        )
-        state = _blockwise(
-            _join(
-                _select(state, ["vid"]),
-                _rename(incoming, ["vid", "inc"]),
-                on=("vid",),
-                how="left_outer",
-                P=P,
-            ),
-            lambda b, _a=alpha, _b=beta: pa.table(
-                {
-                    "vid": b.column("vid"),
-                    "x": pc.add(
-                        pc.multiply(
-                            pc.coalesce(b.column("inc"), pa.scalar(0.0)),
-                            pa.scalar(_a),
-                        ),
-                        pa.scalar(_b),
-                    ),
-                }
-            ),
-        )
-    return _rename(state, ["vid", "katz"]), {"iterations": iters}
+    return out, info
 
 
 def sssp_joined(
@@ -1210,84 +1181,30 @@ def hits_joined(
     """HITS with hub/authority vectors as Datasets — the beyond-broadcast
     tier of `algos.hits.hits` (same fixed-iteration L1-normalized
     half-steps over the DIRECTED edge table). Returns one Dataset
-    (vid, hub, authority) over vids 0..n-1."""
+    (vid, hub, authority) over vids 0..n-1.
+
+    Implementation: the hash-partitioned BSP SpMV pool
+    (`state.spmv_pool.hits_partitioned`) — hub/authority vectors live
+    sharded by vid % P across P actors; a half-step is one partial-sum
+    exchange wave with L1 normalization folded into the next wave's
+    input scale. The r4 all-Dataset version (join + groupby +
+    left_outer universe merge PER HALF-STEP) cost ~31 s for 3
+    iterations at sf0.01 in pure operator fixed cost (VERDICT r4 #7);
+    this one still moves no O(V) data through the driver (the tier's
+    contract). See state/spmv_pool.py for the partitioning assumption."""
     if iters < 1:
         raise ValueError(f"hits_joined: iters must be >= 1, got {iters}")
-    P = _size_aware_P(n, partitions)
+    from parallel_louvain_method_ray.state.spmv_pool import hits_partitioned
 
-    def prep(b: pa.Table) -> pa.Table:
-        w = (
-            b.column(weight_col).cast(pa.float64())
-            if weight_col
-            else pa.array(np.ones(b.num_rows, dtype=np.float64))
-        )
-        return pa.table(
-            {"src": b.column(src_col), "dst": b.column(dst_col), "w": w}
-        )
-
-    e = _tight(edges.map_batches(prep, batch_format="pyarrow"), P)
-    universe = _tight(
-        ray.data.range(n, override_num_blocks=P).map_batches(
-            lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
-        ),
-        P,
+    return hits_partitioned(
+        edges,
+        n,
+        iters=iters,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        partitions=partitions,
     )
-
-    def half_step(x: ray.data.Dataset, reverse: bool) -> ray.data.Dataset:
-        """x: (vid, x). reverse=False: out[dst] += w*x[src] (authority);
-        reverse=True: out[src] += w*x[dst] (hub). L1-normalized over the
-        raw sums (matching the broadcast engine's sum>0 guard)."""
-        key, other = ("dst", "src") if not reverse else ("src", "dst")
-        raw = (
-            _join(e, _rename(x, ["vid", "x"]), on=(other,), right_on=("vid",), P=P)
-            .map_batches(
-                lambda b, _k=key: pa.table(
-                    {
-                        "vid": b.column(_k),
-                        "p": pc.multiply(b.column("w"), b.column("x")),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("vid")
-            .sum("p")
-        )
-        raw = _tight(_rename(raw, ["vid", "p"]), P)
-        s = _scalar_sum(raw, "p")
-        inv = 1.0 / s if s > 0 else 1.0
-        return _blockwise(
-            _join(universe, raw, on=("vid",), how="left_outer", P=P),
-            lambda b, _i=inv: pa.table(
-                {
-                    "vid": b.column("vid"),
-                    "x": pc.multiply(
-                        pc.coalesce(b.column("p"), pa.scalar(0.0)),
-                        pa.scalar(_i),
-                    ),
-                }
-            ),
-        )
-
-    h = _blockwise(
-        universe,
-        lambda b: pa.table(
-            {
-                "vid": b.column("vid"),
-                "x": np.ones(b.num_rows, dtype=np.float64),
-            }
-        ),
-    )
-    a = None
-    for _ in range(iters):
-        a = half_step(h, reverse=False)
-        h = half_step(a, reverse=True)
-    out = _join(
-        _rename(h, ["vid", "hub"]),
-        _rename(a, ["vid", "authority"]),
-        on=("vid",),
-        P=P,
-    )
-    return _select(out, ["vid", "hub", "authority"]), {"iterations": iters}
 
 
 def lpa_sweep_joined(

@@ -1,0 +1,132 @@
+"""BSP SpMV pool (state/spmv_pool.py): partition-count sweep parity of
+hits_partitioned / katz_partitioned against the broadcast twins
+(algos.hits.hits / algos.pagerank.katz_centrality), plus edge cases
+(isolated vertices, unweighted input, iters validation)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from parallel_louvain_method_ray.state.spmv_pool import (
+    hits_partitioned,
+    katz_partitioned,
+)
+
+
+def _directed_edges(seed=7, n=60, m=400, blocks=5):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 5, m).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst, "n_anchors": w})
+    ).repartition(blocks)
+    return ds, src, dst, w
+
+
+def _col(ds, name):
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.sort("vid").iter_batches(batch_format="pyarrow")
+    )
+    return t.column(name).to_numpy(zero_copy_only=False)
+
+
+@pytest.mark.parametrize("P", [1, 2, 5])
+def test_hits_partitioned_matches_broadcast(P):
+    from parallel_louvain_method_ray.algos.hits import hits
+
+    n = 60
+    edges, *_ = _directed_edges(n=n)
+    hb, ab, _ = hits(edges, n, iters=3, weight_col="n_anchors")
+    out, info = hits_partitioned(
+        edges, n, iters=3, weight_col="n_anchors", partitions=P
+    )
+    assert info["iterations"] == 3
+    assert out.count() == n
+    np.testing.assert_array_equal(_col(out, "vid"), np.arange(n))
+    np.testing.assert_allclose(_col(out, "hub"), hb, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(
+        _col(out, "authority"), ab, rtol=1e-12, atol=1e-15
+    )
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_katz_partitioned_matches_broadcast(P):
+    from parallel_louvain_method_ray.algos.pagerank import katz_centrality
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+
+    # katz_centrality runs on the symmetrized graph: build entries both
+    # ways so the pool sees the same A as the broadcast engine
+    rng = np.random.default_rng(3)
+    n, m = 40, 150
+    a = rng.integers(0, n, m).astype(np.int64)
+    b = rng.integers(0, n, m).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    g = graph_from_entry_arrays(
+        a, b, np.ones(len(a)), EngineConfig(num_partitions=4)
+    )
+    xb, _ = katz_centrality(g, alpha=0.005, beta=1.0, iters=5)
+    # pool input: the symmetrized entry table (src, dst, weight)
+    from parallel_louvain_method_ray.graph.csr import (
+        shard_to_entries,
+        unpack_shards,
+    )
+
+    srcs, dsts, ws = [], [], []
+    for bt in g.shards.iter_batches(batch_format="pyarrow"):
+        for sh in unpack_shards(pa.table(bt)):
+            s, d, w = shard_to_entries(sh)
+            srcs.append(np.asarray(s, np.int64))
+            dsts.append(np.asarray(d, np.int64))
+            ws.append(np.asarray(w, np.float64))
+    entries = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "weight": np.concatenate(ws),
+            }
+        )
+    ).repartition(3)
+    out, _ = katz_partitioned(
+        entries, g.n, alpha=0.005, beta=1.0, iters=5,
+        weight_col="weight", partitions=P,
+    )
+    np.testing.assert_allclose(_col(out, "katz"), xb, rtol=1e-12, atol=1e-15)
+
+
+def test_hits_partitioned_isolated_vertices_and_unweighted():
+    """vids past every edge endpoint get hub=authority=0; weight_col=None
+    counts each edge once."""
+    from parallel_louvain_method_ray.algos.hits import hits
+
+    n = 12
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array([0, 1, 2, 0], dtype=np.int64),
+                "dst": np.array([3, 3, 4, 4], dtype=np.int64),
+            }
+        )
+    )
+    hb, ab, _ = hits(edges, n, iters=2)
+    out, _ = hits_partitioned(edges, n, iters=2, partitions=3)
+    np.testing.assert_allclose(_col(out, "hub"), hb, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(
+        _col(out, "authority"), ab, rtol=1e-12, atol=1e-15
+    )
+    assert _col(out, "hub")[5:].sum() == 0.0
+
+
+def test_hits_joined_delegates_and_validates():
+    from parallel_louvain_method_ray.algos.joined import hits_joined
+
+    edges, *_ = _directed_edges(n=20, m=60, blocks=2)
+    with pytest.raises(ValueError):
+        hits_joined(edges, 20, iters=0)
+    out, info = hits_joined(edges, 20, iters=1, weight_col="n_anchors")
+    assert out.count() == 20
+    assert info["iterations"] == 1
