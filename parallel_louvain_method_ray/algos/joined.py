@@ -892,84 +892,21 @@ def connected_components_joined(
     converge before the threshold and never pay for the extra join. None
     disables. Converged labels are identical either way (min vid per
     component); only the round count differs."""
-    P = _jg_P(jg, partitions)
-    labels = _tight(
-        _rename(
-            ray.data.range(jg.n, override_num_blocks=P).map_batches(
-                lambda b: pa.table(
-                    {"vid": b.column("id"), "label": b.column("id")}
-                ),
-                batch_format="pyarrow",
-            ),
-            ["vid", "label"],
-        ),
-        P,
+    from parallel_louvain_method_ray.state.spmv_pool import cc_partitioned
+
+    # BSP SpMV pool implementation (state/spmv_pool.py): labels sharded
+    # by vid % P across P actors, one neighbor-min exchange wave per
+    # round, pointer jumps as a 3-wave distinct-label gather. The r4
+    # all-Dataset version (join + groupby + left_outer merge PER ROUND,
+    # plus a self-join per jump) was ~15 s at sf0.01 in operator fixed
+    # cost (VERDICT r4 #7 family); driver state stays O(P) scalars.
+    return cc_partitioned(
+        jg.edges,
+        jg.n,
+        max_rounds=max_rounds,
+        partitions=partitions,
+        pointer_doubling_after=pointer_doubling_after,
     )
-    rounds = 0
-    jumps = 0
-    while rounds < max_rounds:
-        nbr_min = (
-            _join(
-                jg.edges,
-                _rename(labels, ["vid", "dst_label"]),
-                on=("dst",),
-                right_on=("vid",),
-                P=P,
-            )
-            .groupby("src")
-            .min("dst_label")
-        )
-        nbr_min = _rename(nbr_min, ["vid", "nbr_min"])
-        merged = _tight(
-            _join(labels, nbr_min, on=("vid",), how="left_outer", P=P).map_batches(
-                lambda b: pa.table(
-                    {
-                        "vid": b.column("vid"),
-                        "label": pc.min_element_wise(
-                            b.column("label"),
-                            pc.coalesce(b.column("nbr_min"), b.column("label")),
-                        ),
-                        "changed": pc.less(
-                            pc.coalesce(b.column("nbr_min"), b.column("label")),
-                            b.column("label"),
-                        ).cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            P,
-        )
-        changed = int(_scalar_sum(merged, "changed"))
-        labels = _select(merged, ["vid", "label"])  # lazy, stays tight
-        rounds += 1
-        if changed == 0:
-            break
-        if pointer_doubling_after is not None and rounds >= pointer_doubling_after:
-            # label(v) <- min(label(v), label(label(v))): every label IS a
-            # vid of the same component, so the inner self-join is complete
-            jump = _join(
-                labels,
-                _rename(labels, ["jvid", "label2"]),
-                on=("label",),
-                right_on=("jvid",),
-                P=P,
-            )
-            labels = _tight(
-                jump.map_batches(
-                    lambda b: pa.table(
-                        {
-                            "vid": b.column("vid"),
-                            "label": pc.min_element_wise(
-                                b.column("label"), b.column("label2")
-                            ),
-                        }
-                    ),
-                    batch_format="pyarrow",
-                ),
-                P,
-            )
-            jumps += 1
-    return labels, {"rounds": rounds, "jumps": jumps}
 
 
 def bfs_joined(
@@ -986,69 +923,18 @@ def bfs_joined(
     broadcast engine, so high-diameter graphs prefer `algos/bfs.py`
     below `max_broadcast_vertices`). Unreachable vertices keep the INF
     sentinel dist == n."""
-    import numpy as np
+    from parallel_louvain_method_ray.state.spmv_pool import bfs_partitioned
 
-    P = _jg_P(jg, partitions)
-    inf = jg.n
-    seeds_ref = ray.put(np.asarray(seeds, dtype=np.int64))
-
-    def init(b: pa.Table) -> pa.Table:
-        vid = b.column("id").to_numpy(zero_copy_only=False)
-        s = ray.get(seeds_ref)
-        d = np.where(np.isin(vid, s), 0, inf).astype(np.int64)
-        return pa.table({"vid": b.column("id"), "dist": pa.array(d)})
-
-    dist = _tight(
-        ray.data.range(jg.n, override_num_blocks=P).map_batches(
-            init, batch_format="pyarrow"
-        ),
-        P,
+    # BSP SpMV pool implementation (state/spmv_pool.py): min-plus waves
+    # with +1 hops and the int64 INF==n sentinel; see
+    # connected_components_joined for the rationale.
+    return bfs_partitioned(
+        jg.edges,
+        jg.n,
+        seeds,
+        max_rounds=max_rounds,
+        partitions=partitions,
     )
-    rounds = 0
-    while rounds < max_rounds:
-        nbr_min = (
-            _join(
-                jg.edges,
-                _rename(dist, ["vid", "dst_dist"]),
-                on=("dst",),
-                right_on=("vid",),
-                P=P,
-            )
-            .groupby("src")
-            .min("dst_dist")
-        )
-        nbr_min = _rename(nbr_min, ["vid", "nbr_min"])
-        merged = _tight(
-            _join(dist, nbr_min, on=("vid",), how="left_outer", P=P).map_batches(
-                lambda b: pa.table(
-                    {
-                        "vid": b.column("vid"),
-                        "dist": pc.min_element_wise(
-                            b.column("dist"),
-                            pc.coalesce(
-                                pc.add(b.column("nbr_min"), 1),
-                                b.column("dist"),
-                            ),
-                        ),
-                        "changed": pc.less(
-                            pc.coalesce(
-                                pc.add(b.column("nbr_min"), 1),
-                                b.column("dist"),
-                            ),
-                            b.column("dist"),
-                        ).cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            P,
-        )
-        changed = int(_scalar_sum(merged, "changed"))
-        dist = _select(merged, ["vid", "dist"])  # lazy, stays tight
-        rounds += 1
-        if changed == 0:
-            break
-    return dist, {"rounds": rounds}
 
 
 def katz_joined(
@@ -1095,78 +981,20 @@ def sssp_joined(
     the beyond-broadcast tier of `algos.bfs.sssp_hops` (exact Bellman-Ford
     semantics: dist after round r = cheapest path using AT MOST r edges;
     exactly one Jacobi relaxation per round). Unreachable keeps +inf."""
-    P = _jg_P(jg, partitions)
-    seeds_ref = ray.put(np.asarray(seeds, dtype=np.int64))
+    from parallel_louvain_method_ray.state.spmv_pool import sssp_partitioned
 
-    def init(b: pa.Table) -> pa.Table:
-        vid = b.column("id").to_numpy(zero_copy_only=False)
-        s = ray.get(seeds_ref)
-        d = np.where(np.isin(vid, s), 0.0, np.inf)
-        return pa.table({"vid": b.column("id"), "dist": pa.array(d)})
-
-    dist = _tight(
-        ray.data.range(jg.n, override_num_blocks=P).map_batches(
-            init, batch_format="pyarrow"
-        ),
-        P,
+    # BSP SpMV pool implementation (state/spmv_pool.py): one synchronous
+    # min-plus exchange wave per Bellman-Ford round; see
+    # connected_components_joined for the rationale vs the r4
+    # all-Dataset per-round join pipeline.
+    return sssp_partitioned(
+        jg.edges,
+        jg.n,
+        seeds,
+        hops=hops,
+        weight_col="weight",
+        partitions=partitions,
     )
-    rounds = 0
-    for _ in range(hops):
-        # only finite sources can relax anything; the sentinel keeps the
-        # operand non-empty when the frontier has no outgoing edges yet
-        finite = _seeded(
-            _filter(dist, lambda b: pc.is_finite(b.column("dist"))),
-            vid=-1,
-            dist=0.0,
-        )
-        cand = (
-            _join(
-                jg.edges,
-                _rename(finite, ["vid", "src_dist"]),
-                on=("src",),
-                right_on=("vid",),
-                P=P,
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "dst": b.column("dst"),
-                        "cd": pc.add(
-                            b.column("src_dist"), b.column("weight")
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("dst")
-            .min("cd")
-        )
-        cand = _seeded(_rename(cand, ["vid", "cand"]), vid=-1, cand=0.0)
-        merged = _tight(
-            _join(dist, cand, on=("vid",), how="left_outer", P=P).map_batches(
-                lambda b: pa.table(
-                    {
-                        "vid": b.column("vid"),
-                        "dist": pc.min_element_wise(
-                            b.column("dist"),
-                            pc.coalesce(b.column("cand"), b.column("dist")),
-                        ),
-                        "changed": pc.less(
-                            pc.coalesce(b.column("cand"), b.column("dist")),
-                            b.column("dist"),
-                        ).cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            P,
-        )
-        changed = int(_scalar_sum(merged, "changed"))
-        dist = _select(merged, ["vid", "dist"])
-        rounds += 1
-        if changed == 0:
-            break
-    return dist, {"hops": hops, "rounds": rounds}
 
 
 def hits_joined(

@@ -180,13 +180,127 @@ class SpmvShard:
         """out = alpha * src + beta (the Katz update; no exchange)."""
         self.vecs[out_name] = alpha * self.vecs[src_name] + beta
 
-    def collect(self, spec: list[tuple[str, float, str]]) -> pa.Table:
-        """My slice as (vid, *cols): spec = [(vec_name, scale, col)]."""
+    # -- min-propagation (CC / BFS / Bellman-Ford SSSP) ------------------
+
+    def init_index_vec(self, name: str) -> None:
+        """x[v] = v for my owned vids (the CC singleton labelling)."""
+        self.vecs[name] = np.arange(
+            self.pid, self.n, self.P, dtype=np.int64
+        ).astype(np.float64)
+
+    def init_seed_vec(self, name: str, seeds: np.ndarray, default: float) -> None:
+        """x = default everywhere, 0 at the seed vids homed here."""
+        x = np.full(self.n_owned, float(default))
+        s = np.asarray(seeds, dtype=np.int64)
+        mine = s[s % self.P == self.pid]
+        x[(mine - self.pid) // self.P] = 0.0
+        self.vecs[name] = x
+
+    def _emit_min(self, key: np.ndarray, c: np.ndarray):
+        """Group-MIN contributions by output vid, bucketed by its hash."""
+        out = []
+        hk = key % self.P
+        for q in range(self.P):
+            sel = hk == q
+            if not sel.any():
+                out.append(None)
+                continue
+            uu, inv = np.unique(key[sel], return_inverse=True)
+            mins = np.full(uu.size, np.inf)
+            np.minimum.at(mins, inv, c[sel])
+            out.append(pa.table({"v": uu, "c": mins}))
+        return tuple(out) if self.P > 1 else out[0]
+
+    def min_wave(self, src_name: str, plus: str):
+        """Partials of cand[dst] = min over my by-src edges of
+        x[src] (+ w | + 1 | + 0 per `plus` in {"weight","one","zero"}).
+        Infinite sources are dropped (they can relax nothing)."""
+        x = self.vecs[src_name]
+        xv = x[self.f_src]
+        if plus == "weight":
+            xv = xv + self.f_w
+        elif plus == "one":
+            xv = xv + 1.0
+        finite = np.isfinite(xv)
+        return self._emit_min(self.f_dst[finite], xv[finite])
+
+    def combine_min(self, name: str, parts) -> int:
+        """x = min(x, partial mins); returns #strictly-improved slots
+        (the Jacobi `changed` count — partials were computed against the
+        wave-start snapshot, so this is one synchronous relaxation)."""
+        cur = self.vecs[name]
+        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        if not tabs:
+            return 0
+        t = pa.concat_tables(tabs)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        new = cur.copy()
+        np.minimum.at(new, (v - self.pid) // self.P, c)
+        changed = int((new < cur).sum())
+        self.vecs[name] = new
+        return changed
+
+    # -- pointer-jump gather (CC doubling: label <- label(label)) --------
+
+    def jump_request(self, name: str):
+        """Distinct label values my slice points at, bucketed by the
+        OWNER's hash (labels are vids, so label % P owns label's label)."""
+        lbl = self.vecs[name].astype(np.int64)
+        uu = np.unique(lbl)
+        out = []
+        hk = uu % self.P
+        for q in range(self.P):
+            sel = uu[hk == q]
+            out.append(pa.table({"l": sel}) if sel.size else None)
+        return tuple(out) if self.P > 1 else out[0]
+
+    def jump_serve(self, name: str, parts):
+        """Answer each requester's bucket with (l, label[l]) pairs from
+        my slice — one response table per requester."""
+        lbl = self.vecs[name]
+        resp = []
+        for t in ray.get(list(parts)):
+            if t is None:
+                resp.append(None)
+                continue
+            l = t.column("l").to_numpy(zero_copy_only=False)
+            ll = lbl[(l - self.pid) // self.P]
+            resp.append(pa.table({"l": l, "ll": ll}))
+        return tuple(resp) if self.P > 1 else resp[0]
+
+    def jump_apply(self, name: str, parts) -> int:
+        """label <- min(label, label(label)) using the gathered map. The
+        vector is untouched between request and apply, so every label is
+        present in the map by construction."""
+        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        if not tabs:
+            return 0
+        t = pa.concat_tables(tabs)
+        l = t.column("l").to_numpy(zero_copy_only=False)
+        ll = t.column("ll").to_numpy(zero_copy_only=False)
+        order = np.argsort(l)
+        l, ll = l[order], ll[order]
+        cur = self.vecs[name]
+        mapped = ll[np.searchsorted(l, cur.astype(np.int64))]
+        new = np.minimum(cur, mapped)
+        changed = int((new < cur).sum())
+        self.vecs[name] = new
+        return changed
+
+    def collect(self, spec: list[tuple]) -> pa.Table:
+        """My slice as (vid, *cols): spec entries are (vec_name, scale,
+        col) for float64 output or (vec_name, scale, col, "i8") to cast
+        the column to int64 (CC labels, BFS hop counts)."""
         vids = np.arange(self.pid, self.n, self.P, dtype=np.int64)
         cols: dict[str, np.ndarray] = {"vid": vids}
-        for name, scale, col in spec:
+        for entry in spec:
+            name, scale, col = entry[0], entry[1], entry[2]
             x = self.vecs[name]
-            cols[col] = x * scale if scale != 1.0 else x
+            x = x * scale if scale != 1.0 else x
+            if len(entry) > 3 and entry[3] == "i8":
+                x = x.astype(np.int64)
+            cols[col] = x
         return pa.table(cols)
 
 
@@ -297,6 +411,68 @@ class SpmvPool:
             [a.axpb.remote(src_name, alpha, beta, out_name) for a in self.actors]
         )
 
+    def init_index_vec(self, name: str) -> None:
+        ray.get([a.init_index_vec.remote(name) for a in self.actors])
+
+    def init_seed_vec(self, name: str, seeds, default: float) -> None:
+        s = np.asarray(seeds, dtype=np.int64)
+        ray.get(
+            [a.init_seed_vec.remote(name, s, default) for a in self.actors]
+        )
+
+    def min_fwd(self, name: str, plus: str = "zero") -> int:
+        """One synchronous min-relaxation wave over the by-src edges;
+        returns the number of strictly-improved vector slots."""
+        P = self.P
+        if P > 1:
+            partials = [
+                a.min_wave.options(num_returns=P).remote(name, plus)
+                for a in self.actors
+            ]
+            changed = ray.get(
+                [
+                    self.actors[q].combine_min.remote(
+                        name, [partials[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
+            )
+        else:
+            partial = self.actors[0].min_wave.remote(name, plus)
+            changed = ray.get(
+                [self.actors[0].combine_min.remote(name, [partial])]
+            )
+        return int(sum(changed))
+
+    def pointer_jump(self, name: str) -> int:
+        """label <- min(label, label(label)) across the pool: a request /
+        serve / apply gather (3 RPC waves of tiny distinct-label tables)."""
+        P = self.P
+        if P > 1:
+            reqs = [
+                a.jump_request.options(num_returns=P).remote(name)
+                for a in self.actors
+            ]
+            resps = [
+                self.actors[q]
+                .jump_serve.options(num_returns=P)
+                .remote(name, [reqs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            changed = ray.get(
+                [
+                    self.actors[p].jump_apply.remote(
+                        name, [resps[q][p] for q in range(P)]
+                    )
+                    for p in range(P)
+                ]
+            )
+        else:
+            req = self.actors[0].jump_request.remote(name)
+            resp = self.actors[0].jump_serve.remote(name, [req])
+            changed = ray.get([self.actors[0].jump_apply.remote(name, [resp])])
+        return int(sum(changed))
+
     def collect(self, spec: list[tuple[str, float, str]]) -> ray.data.Dataset:
         """Gather the named slices into a (vid, *cols) Dataset. Blocks are
         materialized before the pool dies (from_arrow_refs blocks live in
@@ -385,3 +561,123 @@ def katz_partitioned(
     finally:
         pool.shutdown()
     return out, {"iterations": iters}
+
+
+def cc_partitioned(
+    edges: ray.data.Dataset,
+    n: int,
+    max_rounds: int = 200,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int | None = None,
+    pointer_doubling_after: int | None = 2,
+) -> tuple[ray.data.Dataset, dict]:
+    """Min-label connected components on the BSP SpMV pool — same
+    semantics as the r4 all-Dataset connected_components_joined (labels
+    init to own vid; one synchronous neighbor-min relaxation per round;
+    from round `pointer_doubling_after` on, each round is chased with a
+    pointer jump label <- label(label), dropping O(diameter) rounds to
+    O(log diameter) on chain-shaped components). Converged labels are
+    the unique min-vid-per-component fixpoint either way. `edges` must
+    be symmetrized (both directions present)."""
+    pool = SpmvPool(
+        edges,
+        n,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=None,
+        partitions=partitions,
+        need_reverse=False,
+    )
+    try:
+        pool.init_index_vec("lbl")
+        rounds = jumps = 0
+        while rounds < max_rounds:
+            changed = pool.min_fwd("lbl", plus="zero")
+            rounds += 1
+            if changed == 0:
+                break
+            if (
+                pointer_doubling_after is not None
+                and rounds >= pointer_doubling_after
+            ):
+                pool.pointer_jump("lbl")
+                jumps += 1
+        out = pool.collect([("lbl", 1.0, "label", "i8")])
+    finally:
+        pool.shutdown()
+    return out, {"rounds": rounds, "jumps": jumps}
+
+
+def sssp_partitioned(
+    edges: ray.data.Dataset,
+    n: int,
+    seeds,
+    hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Hop-bounded Bellman-Ford on the BSP SpMV pool — same semantics as
+    the r4 all-Dataset sssp_joined (dist after round r = cheapest path
+    using AT MOST r edges; exactly one synchronous Jacobi relaxation per
+    round, early exit at the fixpoint; unreachable keeps +inf). `edges`
+    must be symmetrized for undirected distances."""
+    pool = SpmvPool(
+        edges,
+        n,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        partitions=partitions,
+        need_reverse=False,
+    )
+    try:
+        pool.init_seed_vec("dist", seeds, default=np.inf)
+        rounds = 0
+        for _ in range(hops):
+            changed = pool.min_fwd("dist", plus="weight")
+            rounds += 1
+            if changed == 0:
+                break
+        out = pool.collect([("dist", 1.0, "dist")])
+    finally:
+        pool.shutdown()
+    return out, {"hops": hops, "rounds": rounds}
+
+
+def bfs_partitioned(
+    edges: ray.data.Dataset,
+    n: int,
+    seeds,
+    max_rounds: int = 200,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Multi-source BFS hop distances on the BSP SpMV pool — same
+    semantics as the r4 all-Dataset bfs_joined (dist(v) <- min(dist(v),
+    min_u dist(u) + 1) to the fixpoint; unreachable keeps the INF
+    sentinel dist == n, int64 output)."""
+    pool = SpmvPool(
+        edges,
+        n,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=None,
+        partitions=partitions,
+        need_reverse=False,
+    )
+    try:
+        pool.init_seed_vec("dist", seeds, default=float(n))
+        rounds = 0
+        while rounds < max_rounds:
+            changed = pool.min_fwd("dist", plus="one")
+            rounds += 1
+            if changed == 0:
+                break
+        out = pool.collect([("dist", 1.0, "dist", "i8")])
+    finally:
+        pool.shutdown()
+    return out, {"rounds": rounds}

@@ -121,6 +121,57 @@ def test_hits_partitioned_isolated_vertices_and_unweighted():
     assert _col(out, "hub")[5:].sum() == 0.0
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_cc_partitioned_matches_broadcast(P):
+    from parallel_louvain_method_ray.algos.components import (
+        connected_components,
+    )
+    from parallel_louvain_method_ray.algos.joined import joined_graph_from_handle
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+    from parallel_louvain_method_ray.state.spmv_pool import cc_partitioned
+
+    # three components incl. isolated vid 10
+    src = np.array([0, 1, 2, 5, 6, 8], dtype=np.int64)
+    dst = np.array([1, 2, 3, 6, 7, 9], dtype=np.int64)
+    g = graph_from_entry_arrays(
+        src, dst, np.ones(6), EngineConfig(num_partitions=2)
+    )
+    lb, _ = connected_components(g)
+    out, meta = cc_partitioned(joined_graph_from_handle(g).edges, g.n, partitions=P)
+    np.testing.assert_array_equal(_col(out, "label"), lb)
+    assert _col(out, "label").dtype == np.int64
+    assert meta["rounds"] >= 2
+
+
+def test_sssp_partitioned_hop_bound_matches_broadcast():
+    from parallel_louvain_method_ray.algos.bfs import sssp_hops
+    from parallel_louvain_method_ray.algos.joined import joined_graph_from_handle
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+    from parallel_louvain_method_ray.state.spmv_pool import sssp_partitioned
+
+    rng = np.random.default_rng(9)
+    n, m = 50, 120
+    a = rng.integers(0, n, m).astype(np.int64)
+    b = rng.integers(0, n, m).astype(np.int64)
+    keep = a != b
+    w = rng.uniform(0.5, 2.0, keep.sum())
+    g = graph_from_entry_arrays(
+        a[keep], b[keep], w, EngineConfig(num_partitions=3)
+    )
+    seeds = np.array([0, 17])
+    for hops in (2, 8):  # pre-convergence bound AND (likely) fixpoint
+        db, _ = sssp_hops(g, seeds, hops=hops)
+        out, _ = sssp_partitioned(
+            joined_graph_from_handle(g).edges, g.n, seeds, hops=hops,
+            partitions=3,
+        )
+        np.testing.assert_allclose(
+            _col(out, "dist"), db, rtol=1e-12, atol=0
+        )
+
+
 def test_hits_joined_delegates_and_validates():
     from parallel_louvain_method_ray.algos.joined import hits_joined
 
