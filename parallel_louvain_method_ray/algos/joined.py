@@ -760,120 +760,24 @@ def pagerank_joined(
     entirely, and the per-iteration dangling-mass aggregate is skipped
     when the graph has no dangling vertices (counted ONCE and cached on
     the JoinedGraph) — together 2 of the 5 dataset executions per round."""
-    P = _jg_P(jg, partitions)
-    n = jg.n
-    compute_delta = tol > 0
-    n_dangling = getattr(jg, "_n_dangling", None)
-    if n_dangling is None:
-        n_dangling = int(
-            _scalar_sum(
-                _blockwise(
-                    jg.degrees,
-                    lambda b: pa.table(
-                        {
-                            "z": pc.less_equal(b.column("deg"), 0.0).cast(
-                                pa.int64()
-                            )
-                        }
-                    ),
-                ),
-                "z",
-            )
-        )
-        jg._n_dangling = n_dangling
-    state = _blockwise(
-        jg.degrees,
-        lambda b: pa.table(
-            {"vid": b.column("vid"),
-             "deg": b.column("deg"),
-             "rank": np.full(b.num_rows, 1.0 / n, dtype=np.float64)}
-        ),
+    from parallel_louvain_method_ray.state.spmv_pool import (
+        pagerank_partitioned,
     )
-    delta = np.inf
-    iters = 0
-    for it in range(max_iter):
 
-        def scale(batch: pa.Table) -> pa.Table:
-            r = batch.column("rank").to_numpy(zero_copy_only=False)
-            d = batch.column("deg").to_numpy(zero_copy_only=False)
-            s = np.where(d > 0, r / np.where(d > 0, d, 1.0), 0.0)
-            dang = np.where(d <= 0, r, 0.0)
-            return pa.table(
-                {
-                    "vid": batch.column("vid"),
-                    "deg": batch.column("deg"),
-                    "rank": batch.column("rank"),
-                    "s": s,
-                    "dang": dang,
-                }
-            )
-
-        scaled = _tight(_blockwise(state, scale), P)
-        dangling_mass = _scalar_sum(scaled, "dang") if n_dangling else 0.0
-        contrib = (
-            _join(
-                jg.edges,
-                _select(scaled, ["vid", "s"]),
-                on=("src",),
-                right_on=("vid",),
-                P=P,
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "dst": b.column("dst"),
-                        "c": b.column("weight").to_numpy(zero_copy_only=False)
-                        * b.column("s").to_numpy(zero_copy_only=False),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("dst")
-            .sum("c")
-        )
-        incoming = _rename(contrib, ["vid", "incoming"])
-        base = (1.0 - damping) / n + damping * dangling_mass / n
-
-        new_state = _tight(
-            _join(
-                _select(scaled, ["vid", "deg", "rank"]),
-                incoming, on=("vid",), how="left_outer", P=P,
-            )
-            .map_batches(
-                lambda b, _base=base: pa.table(
-                    {
-                        "vid": b.column("vid"),
-                        "deg": b.column("deg"),
-                        "rank": _base
-                        + damping
-                        * pc.coalesce(b.column("incoming"), pa.scalar(0.0))
-                        .to_numpy(zero_copy_only=False),
-                        "old": b.column("rank"),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            P,
-        )
-        if compute_delta:
-            delta_ds = new_state.map_batches(
-                lambda b: pa.table(
-                    {
-                        "d": np.abs(
-                            b.column("rank").to_numpy(zero_copy_only=False)
-                            - b.column("old").to_numpy(zero_copy_only=False)
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            delta = _scalar_sum(delta_ds, "d")
-        state = _select(new_state, ["vid", "deg", "rank"])  # lazy, tight
-        iters = it + 1
-        if compute_delta and delta < tol:
-            break
-    ranks = _select(state, ["vid", "rank"])
-    return ranks, {"iterations": iters, "l1_delta": delta}
+    # BSP SpMV pool implementation (state/spmv_pool.py): ranks sharded by
+    # vid % P, one exchange wave per iteration, scale/dangling/update all
+    # local — the per-iteration joins and groupby above are gone (they
+    # cost ~2 s/iter of operator fixed cost at sf0.01, VERDICT r4 #7
+    # family). Driver per round: summing 2P floats.
+    return pagerank_partitioned(
+        jg.edges,
+        jg.n,
+        damping=damping,
+        tol=tol,
+        max_iter=max_iter,
+        weight_col="weight",
+        partitions=partitions,
+    )
 
 
 def connected_components_joined(
@@ -1035,139 +939,35 @@ def hits_joined(
     )
 
 
-def lpa_sweep_joined(
-    jg: JoinedGraph,
-    labels: ray.data.Dataset,
-    partitions: int | None = None,
-    hub_salts: int | None = None,
-) -> tuple[ray.data.Dataset, int]:
-    """One synchronous LPA sweep (same tie rules as lpa.py: adopt label
-    with max incident weight; keep current unless strictly better or equal
-    weight with smaller label). `hub_salts`: salted two-stage
-    neighbor-label aggregate (hub-skew defense)."""
-    P = _jg_P(jg, partitions)
-    nbr = _filter(
-        jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
-    )
-    kj = _join(
-        nbr,
-        _rename(labels, ["vid", "nlab"]),
-        on=("dst",),
-        right_on=("vid",),
-        P=P,
-    )
-    if hub_salts:
-        k = _salted_k_sum(
-            kj.select_columns(["src", "nlab", "weight"]),
-            ["src", "nlab"], "weight", hub_salts,
-        )
-    else:
-        k = kj.groupby(["src", "nlab"]).sum("weight")
-    k = _tight(_rename(k, ["src", "nlab", "kw"]), P)
-    if k.count() == 0:
-        return labels, 0
-    wmax = _rename(k.groupby("src").max("kw"), ["src", "wmax"])
-    best = (
-        _join(k, wmax, on=("src",), P=P)
-        .map_batches(
-            lambda b: b.filter(pc.equal(b.column("kw"), b.column("wmax"))),
-            batch_format="pyarrow",
-        )
-        .groupby("src")
-        .aggregate(Min("nlab"))
-    )
-    best = _rename(best, ["src", "best"])
-    cur_w = _seeded(
-        _rename(
-            _join(
-                k,
-                _rename(labels, ["src", "cur"]),
-                on=("src",),
-                P=P,
-            )
-            .map_batches(
-                lambda b: b.filter(pc.equal(b.column("nlab"), b.column("cur"))),
-                batch_format="pyarrow",
-            )
-            .select_columns(["src", "kw"]),
-            ["src", "curw"],
-        ),
-        src=np.int64(-1),
-        curw=0.0,
-    )
-    # round-2 postmortem: this decision chain used RAW lazy .join calls —
-    # three concurrent JoinOperators' aggregator actors (x num_partitions)
-    # oversubscribed the cluster and deadlocked at num_cpus=32 (the
-    # driver's shape; the pinned num_cpus=4 test cluster never hit it).
-    # _join materializes each operand, so exactly one join is in flight.
-    d1 = _join(best, wmax, on=("src",), P=P)
-    d2 = _join(d1, _rename(labels, ["src", "cur"]), on=("src",), P=P)
-    dec = _join(d2, cur_w, on=("src",), how="left_outer", P=P)
-
-    def decide(batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy(zero_copy_only=False)
-        best_l = batch.column("best").to_numpy(zero_copy_only=False)
-        wm = batch.column("wmax").to_numpy(zero_copy_only=False)
-        cur = batch.column("cur").to_numpy(zero_copy_only=False)
-        cw = pc.coalesce(batch.column("curw"), pa.scalar(0.0)).to_numpy(
-            zero_copy_only=False
-        )
-        better = (wm > cw) | ((wm == cw) & (best_l < cur))
-        return pa.table({"vid": src[better], "new_label": best_l[better]})
-
-    moved = dec.map_batches(decide, batch_format="pyarrow").materialize()
-    changed = moved.count()
-    if changed == 0:
-        return labels, 0
-    new_labels = _tight(
-        _join(labels, moved, on=("vid",), how="left_outer", P=P).map_batches(
-            lambda b: pa.table(
-                {
-                    "vid": b.column("vid"),
-                    "label": pc.coalesce(b.column("new_label"), b.column("label")),
-                }
-            ),
-            batch_format="pyarrow",
-        ),
-        P,
-    )
-    return new_labels, changed
-
-
 def label_propagation_joined(
     jg: JoinedGraph,
     max_sweeps: int = 25,
     partitions: int | None = None,
     hub_degree_threshold: int | None = 100_000,
 ) -> tuple[ray.data.Dataset, dict]:
-    hub_salts = (
-        16
-        if hub_degree_threshold is not None
-        and jg.max_out_degree > hub_degree_threshold
-        else None
+    """Label propagation, labels as a Dataset (vid, label) — the
+    beyond-broadcast tier of `algos.lpa.label_propagation` (singleton
+    init; synchronous sweeps; adopt the max-incident-weight neighbor
+    label, keep current unless strictly better or tied with a smaller
+    label; self-loops ignored).
+
+    Implementation: the BSP SpMV pool (`state.spmv_pool.lpa_partitioned`)
+    — labels sharded by vid % P, one sweep = one exchange wave of
+    per-(src, label) weight partials pre-combined on each source
+    partition. That pre-combine is also the hub defense the all-Dataset
+    version needed `hub_salts` for (a hub's per-label sums arrive
+    aggregated per partition), so `hub_degree_threshold` is accepted for
+    API compatibility but no salting pass exists to arm."""
+    del hub_degree_threshold  # pre-combined partials need no salting
+    from parallel_louvain_method_ray.state.spmv_pool import lpa_partitioned
+
+    return lpa_partitioned(
+        jg.edges,
+        jg.n,
+        max_sweeps=max_sweeps,
+        weight_col="weight",
+        partitions=partitions,
     )
-    P = _jg_P(jg, partitions)
-    labels = _tight(
-        _rename(
-            ray.data.range(jg.n, override_num_blocks=P).map_batches(
-                lambda b: pa.table(
-                    {"vid": b.column("id"), "label": b.column("id")}
-                ),
-                batch_format="pyarrow",
-            ),
-            ["vid", "label"],
-        ),
-        P,
-    )
-    sweeps = 0
-    for _ in range(max_sweeps):
-        labels, changed = lpa_sweep_joined(
-            jg, labels, partitions, hub_salts=hub_salts
-        )
-        sweeps += 1
-        if changed == 0:
-            break
-    return labels, {"sweeps": sweeps}
 
 
 # ---------------------------------------------------------------------------

@@ -241,6 +241,125 @@ class SpmvShard:
         self.vecs[name] = new
         return changed
 
+    # -- PageRank (power iteration, dangling redistribution) -------------
+
+    def local_weighted_outdegree(self, name: str) -> None:
+        """deg[v] = sum of w over v's out-entries — local: the by-src
+        partition holds EVERY out-edge of the vids owned here."""
+        deg = np.zeros(self.n_owned, dtype=np.float64)
+        np.add.at(deg, self.f_src, self.f_w)
+        self.vecs[name] = deg
+
+    def pr_prep(self, x_name: str, deg_name: str, s_name: str) -> float:
+        """s = x / deg (0 where deg <= 0); returns this slice's dangling
+        mass (sum of x where deg <= 0)."""
+        x = self.vecs[x_name]
+        deg = self.vecs[deg_name]
+        pos = deg > 0
+        s = np.zeros_like(x)
+        s[pos] = x[pos] / deg[pos]
+        self.vecs[s_name] = s
+        return float(x[~pos].sum())
+
+    def pr_finish(
+        self,
+        y_name: str,
+        x_name: str,
+        damping: float,
+        base: float,
+        want_delta: bool,
+    ) -> float:
+        """x <- base + damping * y; returns the slice's L1 delta vs the
+        previous x (0.0 when not requested)."""
+        new = base + damping * self.vecs[y_name]
+        d = (
+            float(np.abs(new - self.vecs[x_name]).sum())
+            if want_delta
+            else 0.0
+        )
+        self.vecs[x_name] = new
+        return d
+
+    # -- label propagation (max-weight label adoption) -------------------
+
+    def lpa_wave(self, name: str):
+        """Per-bucket partial neighbor-label weights over my by-dst
+        edges: contributions (src, label[dst], w) with self-loops
+        dropped, group-summed locally by (src, label)."""
+        lbl = self.vecs[name]
+        # reconstruct the global dst vid to drop self-loops
+        gdst = self.pid + self.r_dst * self.P
+        keep = self.r_src != gdst
+        s = self.r_src[keep]
+        l = lbl[self.r_dst[keep]]
+        w = self.r_w[keep]
+        out = []
+        hk = s % self.P
+        for q in range(self.P):
+            sel = hk == q
+            if not sel.any():
+                out.append(None)
+                continue
+            sq, lq, wq = s[sel], l[sel], w[sel]
+            order = np.lexsort((lq, sq))
+            sq, lq, wq = sq[order], lq[order], wq[order]
+            bnd = np.ones(len(sq), dtype=bool)
+            bnd[1:] = (sq[1:] != sq[:-1]) | (lq[1:] != lq[:-1])
+            starts = np.flatnonzero(bnd)
+            out.append(
+                pa.table(
+                    {
+                        "s": sq[starts],
+                        "l": lq[starts],
+                        "w": np.add.reduceat(wq, starts),
+                    }
+                )
+            )
+        return tuple(out) if self.P > 1 else out[0]
+
+    def lpa_combine(self, name: str, parts) -> int:
+        """Finish the sweep for my owned srcs: sum (src, label) partials,
+        then per src adopt the max-weight label (min label on weight
+        ties) iff strictly better than — or tied with a smaller label
+        than — the current label's own weight. Returns #adoptions (the
+        lpa.py / lpa_sweep_joined decision rule, Jacobi: `name` was
+        snapshotted by the wave before any combine mutates it)."""
+        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        if not tabs:
+            return 0
+        t = pa.concat_tables(tabs)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        l = t.column("l").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        si = (s - self.pid) // self.P
+        order = np.lexsort((l, si))
+        si, l, w = si[order], l[order], w[order]
+        bnd = np.ones(len(si), dtype=bool)
+        bnd[1:] = (si[1:] != si[:-1]) | (l[1:] != l[:-1])
+        starts = np.flatnonzero(bnd)
+        kw = np.add.reduceat(w, starts)
+        ks, kl = si[starts], l[starts]
+        seg_bnd = np.ones(len(ks), dtype=bool)
+        seg_bnd[1:] = ks[1:] != ks[:-1]
+        seg_starts = np.flatnonzero(seg_bnd)
+        seg_id = np.cumsum(seg_bnd) - 1
+        wmax = np.maximum.reduceat(kw, seg_starts)
+        # best = smallest label among the argmax pairs: pairs are sorted
+        # by label within a segment, so the FIRST max-weight pair wins
+        is_max = np.flatnonzero(kw == wmax[seg_id])
+        _, first = np.unique(seg_id[is_max], return_index=True)
+        best = kl[is_max[first]]
+        lbl = self.vecs[name]
+        seg_src = ks[seg_starts]
+        cur = lbl[seg_src]
+        # curw = the current label's own incident weight (0 if absent)
+        curw = np.zeros(len(seg_starts))
+        match = np.flatnonzero(kl == cur[seg_id])
+        curw[seg_id[match]] = kw[match]
+        better = (wmax > curw) | ((wmax == curw) & (best < cur))
+        lbl[seg_src[better]] = best[better]
+        return int(better.sum())
+
     # -- pointer-jump gather (CC doubling: label <- label(label)) --------
 
     def jump_request(self, name: str):
@@ -318,6 +437,7 @@ class SpmvPool:
         weight_col: str | None = None,
         partitions: int | None = None,
         need_reverse: bool = False,
+        need_forward: bool = True,
     ) -> None:
         eds = edges.materialize()
         n_input = eds.count()  # metadata-only on a materialized dataset
@@ -337,7 +457,11 @@ class SpmvPool:
         block_refs = []
         for rb in eds.iter_internal_ref_bundles():
             block_refs.extend(r for r, _ in rb.blocks)
-        waves = [self._ingest(block_refs, src_col, dst_col, weight_col, False)]
+        waves = []
+        if need_forward:
+            waves.append(
+                self._ingest(block_refs, src_col, dst_col, weight_col, False)
+            )
         if need_reverse:
             waves.append(
                 self._ingest(block_refs, src_col, dst_col, weight_col, True)
@@ -441,6 +565,30 @@ class SpmvPool:
             partial = self.actors[0].min_wave.remote(name, plus)
             changed = ray.get(
                 [self.actors[0].combine_min.remote(name, [partial])]
+            )
+        return int(sum(changed))
+
+    def lpa_sweep(self, name: str) -> int:
+        """One synchronous LPA sweep over the by-dst edges; returns the
+        number of label adoptions."""
+        P = self.P
+        if P > 1:
+            partials = [
+                a.lpa_wave.options(num_returns=P).remote(name)
+                for a in self.actors
+            ]
+            changed = ray.get(
+                [
+                    self.actors[q].lpa_combine.remote(
+                        name, [partials[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
+            )
+        else:
+            partial = self.actors[0].lpa_wave.remote(name)
+            changed = ray.get(
+                [self.actors[0].lpa_combine.remote(name, [partial])]
             )
         return int(sum(changed))
 
@@ -645,6 +793,111 @@ def sssp_partitioned(
     finally:
         pool.shutdown()
     return out, {"hops": hops, "rounds": rounds}
+
+
+def pagerank_partitioned(
+    edges: ray.data.Dataset,
+    n: int,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """PageRank power iteration on the BSP SpMV pool — same published
+    semantics as `algos.pagerank.pagerank` / the r4 all-Dataset
+    pagerank_joined (uniform init, rank/deg scaling with the weighted
+    degree, dangling mass redistributed uniformly, `tol <= 0` = fixed
+    iteration count). One iteration = a local prep (scale + dangling
+    mass), one exchange wave, a local affine finish — the driver sums
+    2P floats. `edges` must be symmetrized."""
+    pool = SpmvPool(
+        edges,
+        n,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        partitions=partitions,
+        need_reverse=False,
+    )
+    try:
+        ray.get(
+            [a.local_weighted_outdegree.remote("deg") for a in pool.actors]
+        )
+        pool.init_vec("x", 1.0 / n)
+        compute_delta = tol > 0
+        delta = np.inf
+        iters = 0
+        for it in range(max_iter):
+            dm = float(
+                sum(
+                    ray.get(
+                        [
+                            a.pr_prep.remote("x", "deg", "s")
+                            for a in pool.actors
+                        ]
+                    )
+                )
+            )
+            pool.fwd("s", "y", scale=1.0)
+            base = (1.0 - damping) / n + damping * dm / n
+            deltas = ray.get(
+                [
+                    a.pr_finish.remote("y", "x", damping, base, compute_delta)
+                    for a in pool.actors
+                ]
+            )
+            iters = it + 1
+            if compute_delta:
+                delta = float(sum(deltas))
+                if delta < tol:
+                    break
+        out = pool.collect([("x", 1.0, "rank")])
+    finally:
+        pool.shutdown()
+    return out, {"iterations": iters, "l1_delta": delta}
+
+
+def lpa_partitioned(
+    edges: ray.data.Dataset,
+    n: int,
+    max_sweeps: int = 25,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Label propagation on the BSP SpMV pool — singleton init, then
+    synchronous sweeps with the lpa.py decision rule (adopt the
+    max-incident-weight neighbor label; keep current unless strictly
+    better, or tied with a smaller label; self-loops ignored). Hub skew
+    needs no salting here: a hub's per-label sums are pre-combined on
+    each source partition before the exchange. `edges` must be
+    symmetrized."""
+    pool = SpmvPool(
+        edges,
+        n,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        partitions=partitions,
+        need_reverse=True,
+        need_forward=False,  # LPA reads labels at the dst side only
+    )
+    try:
+        pool.init_index_vec("lbl")
+        sweeps = 0
+        for _ in range(max_sweeps):
+            changed = pool.lpa_sweep("lbl")
+            sweeps += 1
+            if changed == 0:
+                break
+        out = pool.collect([("lbl", 1.0, "label", "i8")])
+    finally:
+        pool.shutdown()
+    return out, {"sweeps": sweeps}
 
 
 def bfs_partitioned(

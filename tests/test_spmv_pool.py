@@ -172,6 +172,68 @@ def test_sssp_partitioned_hop_bound_matches_broadcast():
         )
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_pagerank_partitioned_matches_broadcast(P):
+    from parallel_louvain_method_ray.algos.joined import (
+        joined_graph_from_handle,
+    )
+    from parallel_louvain_method_ray.algos.pagerank import pagerank
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+    from parallel_louvain_method_ray.state.spmv_pool import (
+        pagerank_partitioned,
+    )
+
+    rng = np.random.default_rng(21)
+    n, m = 45, 160
+    a = rng.integers(0, n, m).astype(np.int64)
+    b = rng.integers(0, n, m).astype(np.int64)
+    keep = a != b
+    g = graph_from_entry_arrays(
+        a[keep], b[keep], np.ones(keep.sum()), EngineConfig(num_partitions=3)
+    )
+    rb, _ = pagerank(g, tol=0.0, max_iter=5)
+    out, info = pagerank_partitioned(
+        joined_graph_from_handle(g).edges, g.n, tol=0.0, max_iter=5,
+        partitions=P,
+    )
+    assert info["iterations"] == 5
+    np.testing.assert_allclose(_col(out, "rank"), rb, rtol=1e-12, atol=1e-16)
+    # tol>0 path: early exit triggers and deltas agree across P
+    out2, info2 = pagerank_partitioned(
+        joined_graph_from_handle(g).edges, g.n, tol=1e-3, max_iter=50,
+        partitions=P,
+    )
+    assert info2["iterations"] < 50
+    assert info2["l1_delta"] < 1e-3
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_lpa_partitioned_matches_broadcast(P):
+    from parallel_louvain_method_ray.algos.joined import (
+        joined_graph_from_handle,
+    )
+    from parallel_louvain_method_ray.algos.lpa import label_propagation
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+    from parallel_louvain_method_ray.state.spmv_pool import lpa_partitioned
+    from tests.fixtures import planted_partition_graph
+
+    src, dst, w, _ = planted_partition_graph(40, 4, 6, 1, seed=17)
+    g = graph_from_entry_arrays(
+        np.asarray(src, np.int64), np.asarray(dst, np.int64),
+        np.ones(len(src)), EngineConfig(num_partitions=3),
+    )
+    for sweeps in (1, 3):
+        lb, _ = label_propagation(g, max_sweeps=sweeps)
+        out, meta = lpa_partitioned(
+            joined_graph_from_handle(g).edges, g.n, max_sweeps=sweeps,
+            partitions=P,
+        )
+        np.testing.assert_array_equal(_col(out, "label"), lb)
+        assert meta["sweeps"] <= sweeps
+
+
 def test_hits_joined_delegates_and_validates():
     from parallel_louvain_method_ray.algos.joined import hits_joined
 
