@@ -21,11 +21,16 @@ Dataset pipeline is tested BIT-FOR-BIT against it on P>1 fixtures
 cannot perturb gains; on arbitrary float weights parity holds to the
 last ulp of the sum order).
 
-Cost shape per Louvain sweep: ~5 shuffles (stats groupby, k groupby,
-argmax max+min groupbys, the fused decision join — the candidate rows
-carry the stats/vertex columns through the argmax, so the decision no
-longer re-joins stats and vert). That is the price of dropping the
-O(V) broadcast; the broadcast path remains the default below
+Since r5, every per-round exchange in this module runs on the
+hash-partitioned BSP pools (state/spmv_pool.py, state/peel_pool.py):
+vertex state lives sharded by vid % P on P actors and a round is 2-4
+RPC waves of tiny pre-combined partial tables, replacing the per-round
+join + groupby pipelines whose operator fixed cost (~1-2 s per join
+execution, per-key Python combine in the sort-based groupby) dominated
+at every scale. The Dataset plumbing below remains for the per-LEVEL
+steps (coarsen, modularity, membership composition) where one join per
+level is the right tool. Driver state stays O(P) scalars per round —
+the tier's contract; the broadcast path remains the default below
 `EngineConfig.max_broadcast_vertices`.
 """
 
@@ -38,7 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Sum
 
 from parallel_louvain_method_ray.algos._local_move import chunked_local_move_sweep
 from parallel_louvain_method_ray.graph.build import join_partitions
@@ -78,17 +83,6 @@ def _filter(ds: ray.data.Dataset, fn) -> ray.data.Dataset:
 def _scalar_sum(ds: ray.data.Dataset, col: str) -> float:
     out = ds.aggregate(Sum(col))
     return float(out[f"sum({col})"] or 0.0)
-
-
-def _seeded(ds: ray.data.Dataset, **sentinel_row) -> ray.data.Dataset:
-    """Union with a single SENTINEL row (key = -1, impossible for real
-    vids/comms): Ray's hash join errors when one side contributes zero
-    rows (the empty side materializes schema-less); one unmatched row
-    keeps the join well-formed and falls out of inner/left joins."""
-    seed = ray.data.from_arrow(
-        pa.table({k: pa.array([v], None) for k, v in sentinel_row.items()})
-    )
-    return ds.union(seed)
 
 
 def _tight(ds: ray.data.Dataset, P: int) -> ray.data.Dataset:
@@ -315,34 +309,6 @@ def singleton_assignment(jg: JoinedGraph) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _salted_k_sum(
-    joined: ray.data.Dataset,
-    keys: list[str],
-    value: str,
-    n_salts: int,
-) -> ray.data.Dataset:
-    """Two-stage groupby-sum with per-row salting (ops/agg.py pattern):
-    a hub key's rows are spread over n_salts reducers in the wide stage,
-    then a tiny second groupby merges partials. Result identical for
-    exact-sum weights (integers); last-ulp association otherwise."""
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        salt = (np.arange(batch.num_rows) % n_salts).astype(np.int64)
-        return batch.append_column("salt", pa.array(salt, pa.int64()))
-
-    stage1 = (
-        joined.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([*keys, "salt"])
-        .sum(value)
-    )
-    stage1 = _rename(stage1, [*keys, "salt", value])
-    return (
-        stage1.drop_columns(["salt"])
-        .groupby(keys)
-        .sum(value)
-    )
-
-
 def louvain_sweep_joined(
     jg: JoinedGraph,
     assign: ray.data.Dataset,
@@ -352,172 +318,31 @@ def louvain_sweep_joined(
 ) -> tuple[ray.data.Dataset, int]:
     """One synchronous local-move sweep; returns (assign', moves).
 
-    Exactly `chunked_local_move_sweep(chunk=n)` re-expressed as:
-      stats  = assign ⋈ degrees → groupby(comm){sum deg, count}
-      k      = edges(src≠dst) ⋈ assign(dst) → groupby(src, dst_comm).sum(w)
-      vert   = assign ⋈ degrees ⋈ stats(own) [⋈ k_own]
-      cand   = k ⋈ stats(dst_comm) ⋈ vert  → gain
-      argmax = groupby(src).max(gain) ⋈ filter(gain=max) → groupby.min(comm)
-      accept = gain > max(gain_own, 0), singleton-swap guard
+    Exactly `chunked_local_move_sweep(chunk=n)` — snapshot community
+    stats, neighbor-community weights k_{v,c} (self-loops excluded,
+    `src/community.cpp:134`), gain = kw - tot_c * (dv / m2) argmax with
+    the min-comm tie-break, remove-before-gain own threshold and the
+    singleton-swap guard.
 
-    `hub_salts`: when set, the neighbor-weight groupby runs as the salted
-    two-stage aggregate (skew defense for hub vertices — SURVEY §4.2)."""
-    P = _jg_P(jg, partitions)
+    Implementation: the BSP SpMV pool (`state.spmv_pool.LouvainLevel`) —
+    assignment/degree vectors sharded by vid % P, one sweep = a stats
+    wave + a neighbor-weight wave (concurrent) + a distinct-comm stats
+    gather + a local decide. The all-Dataset version (5+ shuffles per
+    sweep) cost ~2 s/sweep at sf0.01 in operator fixed cost. `hub_salts`
+    is accepted for API compatibility: per-(src, comm) partials are
+    pre-combined on each partition before the exchange, so hub skew
+    needs no salting pass."""
+    del hub_salts
+    from parallel_louvain_method_ray.state.spmv_pool import LouvainLevel
 
-    # community stats from the snapshot
-    ad = _tight(_join(assign, jg.degrees, on=("vid",), P=P), P)
-    stats = _tight(
-        _rename(
-            ad.groupby("comm").aggregate(Sum("deg"), Count()),
-            ["comm", "tot", "csize"],
-        ),
-        P,
-    )
-
-    # per-vertex own-side info
-    vert = _rename(
-        _join(
-            ad,
-            _rename(stats, ["comm", "tot_own", "csize_own"]),
-            on=("comm",),
-            P=P,
-        ).select_columns(["vid", "comm", "deg", "tot_own", "csize_own"]),
-        ["vid", "own", "dv", "tot_own", "csize_own"],
-    )
-    vert = _tight(vert, P)
-
-    # neighbor-community weights k_{v,c} (self-loops excluded,
-    # `src/community.cpp:134`)
-    nbr = _filter(
-        jg.edges, lambda b: pc.invert(pc.equal(b.column("src"), b.column("dst")))
-    )
-    kj = _join(
-        nbr,
-        _rename(assign, ["vid", "dst_comm"]),
-        on=("dst",),
-        right_on=("vid",),
-        P=P,
-    )
-    if hub_salts:
-        k = _salted_k_sum(
-            kj.select_columns(["src", "dst_comm", "weight"]),
-            ["src", "dst_comm"], "weight", hub_salts,
-        )
-    else:
-        k = kj.groupby(["src", "dst_comm"]).sum("weight")
-    k = _rename(k, ["src", "dst_comm", "kw"])
-
-    f1 = _join(k, _rename(stats, ["dst_comm", "tot_c", "csize_c"]), on=("dst_comm",), P=P)
-    full = (
-        _join(f1, vert, on=("src",), right_on=("vid",), P=P)
-        .select_columns(
-            ["src", "dst_comm", "kw", "tot_c", "csize_c", "own", "dv",
-             "tot_own", "csize_own"]
-        )
-    )
-    full = _tight(full, P)
-
-    # k to the OWN community (0 when no neighbor shares it)
-    k_own = _seeded(
-        _rename(
-            _filter(full, lambda b: pc.equal(b.column("dst_comm"), b.column("own")))
-            .select_columns(["src", "kw"]),
-            ["src", "k_own"],
-        ),
-        src=np.int64(-1),
-        k_own=0.0,
-    )
-
-    # candidates: gain = kw - tot_c * (dv / m2)   [kernel line order]
-    def cand_gain(batch: pa.Table) -> pa.Table:
-        kw = batch.column("kw").to_numpy(zero_copy_only=False)
-        tot_c = batch.column("tot_c").to_numpy(zero_copy_only=False)
-        dv = batch.column("dv").to_numpy(zero_copy_only=False)
-        gain = kw - tot_c * (dv / m2)
-        return batch.append_column("gain", pa.array(gain, pa.float64()))
-
-    cand = _filter(
-        full, lambda b: pc.invert(pc.equal(b.column("dst_comm"), b.column("own")))
-    ).map_batches(cand_gain, batch_format="pyarrow")
-    cand = _tight(cand, P)
-    if cand.count() == 0:  # no cross-community neighbors anywhere
-        return assign, 0
-
-    gmax = _tight(_rename(cand.groupby("src").max("gain"), ["src", "gmax"]), P)
-    # FUSED argmax: the candidate rows already carry the best community's
-    # stats (tot_c/csize_c) and the vertex's own-side info (own/dv/
-    # tot_own/csize_own) from the `full` join above, so instead of
-    # re-joining stats and vert onto a (src, best_comm) skeleton (the r2
-    # shape: 4 joins after the argmax), select the WINNING ROW itself —
-    # filter gain == gmax, take the min dst_comm per src, and join that
-    # single (src, dst_comm) key back onto the filtered rows. 2 joins
-    # fewer per sweep, each with its _tight materializations.
-    filt = _tight(
-        _join(cand, gmax, on=("src",), P=P).map_batches(
-            lambda b: b.filter(pc.equal(b.column("gain"), b.column("gmax"))),
-            batch_format="pyarrow",
-        ),
-        P,
-    )
-    bm = _rename(
-        filt.groupby("src").aggregate(Min("dst_comm")), ["src", "best_comm"]
-    )
-    d3 = _rename(
-        _join(
-            filt, bm, on=("src", "dst_comm"), right_on=("src", "best_comm"), P=P
-        ).select_columns(
-            ["src", "dst_comm", "gmax", "tot_c", "csize_c", "own", "dv",
-             "tot_own", "csize_own"]
-        ),
-        ["src", "best_comm", "gmax", "tot_b", "csize_b", "own", "dv",
-         "tot_own", "csize_own"],
-    )
-    dec = _join(d3, k_own, on=("src",), how="left_outer", P=P)
-
-    def decide(batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy(zero_copy_only=False)
-        best_c = batch.column("best_comm").to_numpy(zero_copy_only=False)
-        gmax_v = batch.column("gmax").to_numpy(zero_copy_only=False)
-        own = batch.column("own").to_numpy(zero_copy_only=False)
-        dv = batch.column("dv").to_numpy(zero_copy_only=False)
-        tot_own = batch.column("tot_own").to_numpy(zero_copy_only=False)
-        cs_own = batch.column("csize_own").to_numpy(zero_copy_only=False)
-        cs_b = batch.column("csize_b").to_numpy(zero_copy_only=False)
-        ko = pc.coalesce(batch.column("k_own"), pa.scalar(0.0)).to_numpy(
-            zero_copy_only=False
-        )
-        # remove-before-gain: tot[own] seen without deg(v)
-        gain_own = ko - (tot_own - dv) * dv / m2
-        thr = np.maximum(gain_own, 0.0)
-        accept = gmax_v > thr
-        guard = (best_c > own) & (cs_own == 1) & (cs_b == 1)
-        accept &= ~guard
-        return pa.table(
-            {
-                "vid": src[accept],
-                "new_comm": best_c[accept],
-            }
-        )
-
-    moved = _tight(dec.map_batches(decide, batch_format="pyarrow"), P)
-    moves = moved.count()
-    if moves == 0:
-        return assign, 0
-
-    P2 = P
-    new_assign = (
-        _join(assign, moved, on=("vid",), how="left_outer", P=P2)
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "vid": b.column("vid"),
-                    "comm": pc.coalesce(b.column("new_comm"), b.column("comm")),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    return _tight(new_assign, P), moves
+    lvl = LouvainLevel(jg.edges, jg.n, partitions=partitions)
+    try:
+        lvl.load_assign(assign)
+        moves = lvl.sweep(m2)
+        out = lvl.assign_dataset() if moves else assign
+    finally:
+        lvl.shutdown()
+    return out, moves
 
 
 def modularity_joined(
@@ -612,8 +437,10 @@ def louvain_joined(
     dense labels, final Q on the original graph, per-level info).
 
     `louvain_jacobi_numpy` is the bit-parity reference for this loop.
-    `hub_degree_threshold`: max out-degree above which the neighbor-weight
-    groupby runs salted (16 salts) — the hub-skew defense."""
+    Sweeps run on one BSP SpMV pool per level (state/spmv_pool.py);
+    `hub_degree_threshold` is accepted for API compatibility — the
+    pool's pre-combined per-(src, comm) partials make salting moot."""
+    del hub_degree_threshold
     jg0 = jg
     membership = singleton_assignment(jg)  # (vid, comm) comm in current level space
     levels: list[dict] = []
@@ -621,23 +448,26 @@ def louvain_joined(
         # per-level fan-out: coarse levels shrink, so does their join P
         P = _jg_P(jg, partitions)
         m2 = 2.0 * jg.m if m_mode == "count" else jg.total_weight
-        hub_salts = (
-            16
-            if hub_degree_threshold is not None
-            and jg.max_out_degree > hub_degree_threshold
-            else None
-        )
-        assign = singleton_assignment(jg)
+        # one BSP pool per level: the assignment stays sharded on the
+        # actors across sweeps (singleton init is the pool's index vec),
+        # and only the converged level result is collected to a Dataset
+        # for the coarsen join. hub_degree_threshold is moot here: the
+        # pool pre-combines per-(src, comm) partials on each partition.
+        from parallel_louvain_method_ray.state.spmv_pool import LouvainLevel
+
+        lvl_pool = LouvainLevel(jg.edges, jg.n, partitions=P)
         sweeps = 0
         total_moves = 0
-        for _ in range(max_sweeps):
-            assign, moves = louvain_sweep_joined(
-                jg, assign, m2, P, hub_salts=hub_salts
-            )
-            sweeps += 1
-            total_moves += moves
-            if moves == 0:
-                break
+        try:
+            for _ in range(max_sweeps):
+                moves = lvl_pool.sweep(m2)
+                sweeps += 1
+                total_moves += moves
+                if moves == 0:
+                    break
+            assign = lvl_pool.assign_dataset()
+        finally:
+            lvl_pool.shutdown()
         improved = total_moves > 0
         if not improved and level > 0:
             break

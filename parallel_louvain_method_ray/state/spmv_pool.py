@@ -82,6 +82,23 @@ def _split_edges(
 
 
 @ray.remote
+def _split_vec(block: pa.Table, P: int, vid_col: str, val_col: str):
+    """Bucket one (vid, value) block by vid % P for SpmvShard.ingest_vec."""
+    v = block.column(vid_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    x = (
+        block.column(val_col)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    hv = v % P
+    out = []
+    for p in range(P):
+        sel = hv == p
+        out.append(pa.table({"v": v[sel], "x": x[sel]}) if sel.any() else None)
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
 class SpmvShard:
     """One vid-partition of the vector state + the edge partitions whose
     input endpoint is homed here. See module docstring for the wave
@@ -360,6 +377,188 @@ class SpmvShard:
         lbl[seg_src[better]] = best[better]
         return int(better.sum())
 
+    # -- Louvain local-move sweep (pure Jacobi) --------------------------
+
+    def local_weighted_indegree(self, name: str) -> None:
+        """deg[v] = sum of w over v's entries — local on the by-dst
+        partition (the entry table is symmetric, so in-entries ==
+        out-entries per vid; self-loop weight counts once)."""
+        deg = np.zeros(self.n_owned, dtype=np.float64)
+        np.add.at(deg, self.r_dst, self.r_w)
+        self.vecs[name] = deg
+
+    def ingest_vec(self, name: str, parts, default: float) -> None:
+        """Load a sharded vector from split (v, x) tables."""
+        x = np.full(self.n_owned, float(default))
+        for t in ray.get(list(parts)):
+            if t is None:
+                continue
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            x[(v - self.pid) // self.P] = t.column("x").to_numpy(
+                zero_copy_only=False
+            )
+        self.vecs[name] = x
+
+    def stats_wave(self, asn_name: str, deg_name: str):
+        """Per-bucket partial community stats (comm, tot=sum deg,
+        csize=count) over ALL my owned vids, bucketed by comm % P."""
+        c = self.vecs[asn_name].astype(np.int64)
+        deg = self.vecs[deg_name]
+        out = []
+        hk = c % self.P
+        for q in range(self.P):
+            sel = hk == q
+            if not sel.any():
+                out.append(None)
+                continue
+            uu, inv = np.unique(c[sel], return_inverse=True)
+            tot = np.zeros(uu.size)
+            np.add.at(tot, inv, deg[sel])
+            csize = np.bincount(inv, minlength=uu.size)
+            out.append(
+                pa.table(
+                    {"c": uu, "t": tot, "s": csize.astype(np.int64)}
+                )
+            )
+        return tuple(out) if self.P > 1 else out[0]
+
+    def stats_combine(self, parts) -> None:
+        """Sum my bucket's stats partials into dense (tot, csize) slices
+        over my owned comm ids (comm ids ARE vids)."""
+        tot = np.zeros(self.n_owned)
+        csize = np.zeros(self.n_owned, dtype=np.int64)
+        for t in ray.get(list(parts)):
+            if t is None:
+                continue
+            idx = (
+                t.column("c").to_numpy(zero_copy_only=False) - self.pid
+            ) // self.P
+            np.add.at(tot, idx, t.column("t").to_numpy(zero_copy_only=False))
+            np.add.at(
+                csize, idx, t.column("s").to_numpy(zero_copy_only=False)
+            )
+        self.vecs["_lv_tot"] = tot
+        self.vecs["_lv_csize"] = csize.astype(np.float64)
+
+    def louvain_k_combine(self, asn_name: str, parts):
+        """Sum my bucket's (src, comm, w) partials into the per-vertex
+        neighbor-community weight table k (kept as actor state for the
+        decide step) and return per-bucket distinct-comm stat requests
+        (candidate comms plus my vertices' own comms)."""
+        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        if tabs:
+            t = pa.concat_tables(tabs)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            l = t.column("l").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            si = (s - self.pid) // self.P
+            order = np.lexsort((l, si))
+            si, l, w = si[order], l[order], w[order]
+            bnd = np.ones(len(si), dtype=bool)
+            bnd[1:] = (si[1:] != si[:-1]) | (l[1:] != l[:-1])
+            starts = np.flatnonzero(bnd)
+            self._lv_k = (
+                si[starts],
+                l[starts].astype(np.int64),
+                np.add.reduceat(w, starts),
+            )
+        else:
+            e = np.empty(0, dtype=np.int64)
+            self._lv_k = (e, e, np.empty(0))
+        req = np.unique(
+            np.concatenate(
+                [self._lv_k[1], self.vecs[asn_name].astype(np.int64)]
+            )
+        )
+        out = []
+        hk = req % self.P
+        for q in range(self.P):
+            sel = req[hk == q]
+            out.append(pa.table({"l": sel}) if sel.size else None)
+        return tuple(out) if self.P > 1 else out[0]
+
+    def stats_serve(self, parts):
+        """Answer each requester's bucket with (c, tot, csize) from my
+        combined stats slices — one response table per requester."""
+        tot = self.vecs["_lv_tot"]
+        csize = self.vecs["_lv_csize"]
+        resp = []
+        for t in ray.get(list(parts)):
+            if t is None:
+                resp.append(None)
+                continue
+            c = t.column("l").to_numpy(zero_copy_only=False)
+            idx = (c - self.pid) // self.P
+            resp.append(
+                pa.table({"c": c, "t": tot[idx], "s": csize[idx]})
+            )
+        return tuple(resp) if self.P > 1 else resp[0]
+
+    def louvain_decide(
+        self, asn_name: str, deg_name: str, m2: float, parts
+    ) -> int:
+        """Finish the sweep for my owned vertices: the
+        chunked_local_move_sweep decision against the snapshot stats —
+        gain = kw - tot_c * (dv / m2) per candidate comm, argmax with the
+        min-comm tie-break, remove-before-gain own threshold
+        max(k_own - (tot_own - dv) * dv / m2, 0), singleton-swap guard.
+        Mutates the assignment slice; returns #moves."""
+        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        si, c, kw = self._lv_k
+        del self._lv_k
+        if si.size == 0:
+            return 0
+        carr = np.concatenate(
+            [t.column("c").to_numpy(zero_copy_only=False) for t in tabs]
+        )
+        tarr = np.concatenate(
+            [t.column("t").to_numpy(zero_copy_only=False) for t in tabs]
+        )
+        sarr = np.concatenate(
+            [t.column("s").to_numpy(zero_copy_only=False) for t in tabs]
+        )
+        order = np.argsort(carr)
+        carr, tarr, sarr = carr[order], tarr[order], sarr[order]
+        asn = self.vecs[asn_name]
+        deg = self.vecs[deg_name]
+        # pairs are sorted by (si, c); segment = one vertex
+        seg_bnd = np.ones(len(si), dtype=bool)
+        seg_bnd[1:] = si[1:] != si[:-1]
+        seg_starts = np.flatnonzero(seg_bnd)
+        sid = np.cumsum(seg_bnd) - 1
+        nseg = len(seg_starts)
+        seg_si = si[seg_starts]
+        own_s = asn[seg_si].astype(np.int64)
+        dv_s = deg[seg_si]
+        own_pair = own_s[sid]
+        cand = c != own_pair
+        tot_pair = tarr[np.searchsorted(carr, c)]
+        gain = kw - tot_pair * (deg[si] / m2)
+        gmax = np.full(nseg, -np.inf)
+        np.maximum.at(gmax, sid[cand], gain[cand])
+        has_cand = gmax > -np.inf
+        is_best = np.flatnonzero(cand & (gain == gmax[sid]))
+        # first max-gain candidate per segment = smallest comm (pairs
+        # sorted by comm within a segment)
+        bseg, first = np.unique(sid[is_best], return_index=True)
+        best = np.full(nseg, -1, dtype=np.int64)
+        best[bseg] = c[is_best[first]]
+        ko = np.zeros(nseg)
+        m = np.flatnonzero(c == own_pair)
+        ko[sid[m]] = kw[m]
+        oi = np.searchsorted(carr, own_s)
+        tot_own = tarr[oi]
+        cs_own = sarr[oi]
+        gain_own = ko - (tot_own - dv_s) * dv_s / m2
+        thr = np.maximum(gain_own, 0.0)
+        accept = has_cand & (gmax > thr)
+        bi = np.searchsorted(carr, np.where(best >= 0, best, 0))
+        cs_b = sarr[bi]
+        guard = (best > own_s) & (cs_own == 1.0) & (cs_b == 1.0)
+        accept &= ~guard
+        asn[seg_si[accept]] = best[accept].astype(np.float64)
+        return int(accept.sum())
+
     # -- pointer-jump gather (CC doubling: label <- label(label)) --------
 
     def jump_request(self, name: str):
@@ -567,6 +766,94 @@ class SpmvPool:
                 [self.actors[0].combine_min.remote(name, [partial])]
             )
         return int(sum(changed))
+
+    def load_vec(
+        self,
+        ds: ray.data.Dataset,
+        name: str,
+        vid_col: str,
+        val_col: str,
+        default: float = 0.0,
+    ) -> None:
+        """Scatter a (vid, value) Dataset into the sharded vector."""
+        P = self.P
+        eds = ds.materialize()
+        block_refs = []
+        for rb in eds.iter_internal_ref_bundles():
+            block_refs.extend(r for r, _ in rb.blocks)
+        if P > 1:
+            splits = [
+                _split_vec.options(num_returns=P).remote(
+                    br, P, vid_col, val_col
+                )
+                for br in block_refs
+            ]
+            ray.get(
+                [
+                    self.actors[p].ingest_vec.remote(
+                        name, [s[p] for s in splits], default
+                    )
+                    for p in range(P)
+                ]
+            )
+        else:
+            splits = [
+                _split_vec.remote(br, P, vid_col, val_col)
+                for br in block_refs
+            ]
+            ray.get([self.actors[0].ingest_vec.remote(name, splits, default)])
+
+    def louvain_sweep(self, m2: float) -> int:
+        """One pure-Jacobi local-move sweep over the sharded assignment
+        ("asn") + degree ("deg") vectors: stats wave and neighbor-weight
+        wave (both from the sweep-start snapshot, launched concurrently),
+        a distinct-comm stats gather, then the local decide. Returns the
+        move count."""
+        P = self.P
+        A = self.actors
+        if P > 1:
+            stats_p = [
+                a.stats_wave.options(num_returns=P).remote("asn", "deg")
+                for a in A
+            ]
+            k_p = [
+                a.lpa_wave.options(num_returns=P).remote("asn") for a in A
+            ]
+            stats_c = [
+                A[q].stats_combine.remote([stats_p[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            reqs = [
+                A[p]
+                .louvain_k_combine.options(num_returns=P)
+                .remote("asn", [k_p[q2][p] for q2 in range(P)])
+                for p in range(P)
+            ]
+            ray.get(stats_c)
+            resp = [
+                A[q]
+                .stats_serve.options(num_returns=P)
+                .remote([reqs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            moves = ray.get(
+                [
+                    A[p].louvain_decide.remote(
+                        "asn", "deg", m2, [resp[q][p] for q in range(P)]
+                    )
+                    for p in range(P)
+                ]
+            )
+        else:
+            sp = A[0].stats_wave.remote("asn", "deg")
+            kp = A[0].lpa_wave.remote("asn")
+            ray.get(A[0].stats_combine.remote([sp]))
+            req = A[0].louvain_k_combine.remote("asn", [kp])
+            resp = A[0].stats_serve.remote([req])
+            moves = ray.get(
+                [A[0].louvain_decide.remote("asn", "deg", m2, [resp])]
+            )
+        return int(sum(moves))
 
     def lpa_sweep(self, name: str) -> int:
         """One synchronous LPA sweep over the by-dst edges; returns the
@@ -793,6 +1080,52 @@ def sssp_partitioned(
     finally:
         pool.shutdown()
     return out, {"hops": hops, "rounds": rounds}
+
+
+class LouvainLevel:
+    """One Louvain level on the BSP SpMV pool: the assignment and degree
+    vectors live sharded across the actors for the whole level, so a
+    multi-sweep loop pays the edge ingest exactly once. Sweep semantics
+    are `chunked_local_move_sweep(chunk=n)` — the same pure-Jacobi
+    decision (fresh snapshot stats per sweep, gain argmax with min-comm
+    tie-break, remove-before-gain threshold, singleton-swap guard) the
+    all-Dataset louvain_sweep_joined implemented, bit-for-bit on
+    integer-weight graphs. `edges` must be symmetrized deduped entries."""
+
+    def __init__(
+        self,
+        edges: ray.data.Dataset,
+        n: int,
+        weight_col: str = "weight",
+        partitions: int | None = None,
+    ) -> None:
+        self.pool = SpmvPool(
+            edges,
+            n,
+            weight_col=weight_col,
+            partitions=partitions,
+            need_reverse=True,
+            need_forward=False,  # all sweep reads happen at the dst side
+        )
+        ray.get(
+            [
+                a.local_weighted_indegree.remote("deg")
+                for a in self.pool.actors
+            ]
+        )
+        self.pool.init_index_vec("asn")  # reference singleton init
+
+    def load_assign(self, assign: ray.data.Dataset) -> None:
+        self.pool.load_vec(assign, "asn", "vid", "comm")
+
+    def sweep(self, m2: float) -> int:
+        return self.pool.louvain_sweep(m2)
+
+    def assign_dataset(self) -> ray.data.Dataset:
+        return self.pool.collect([("asn", 1.0, "comm", "i8")])
+
+    def shutdown(self) -> None:
+        self.pool.shutdown()
 
 
 def pagerank_partitioned(
