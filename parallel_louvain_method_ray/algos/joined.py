@@ -85,6 +85,18 @@ def _scalar_sum(ds: ray.data.Dataset, col: str) -> float:
     return float(out[f"sum({col})"] or 0.0)
 
 
+def _seeded(ds: ray.data.Dataset, **sentinel_row) -> ray.data.Dataset:
+    """Union with a single SENTINEL row (key = -1, impossible for real
+    vids/comms): Ray's hash join errors when one side contributes zero
+    rows (the empty side materializes schema-less); one unmatched row
+    keeps the join well-formed and falls out of inner/left joins.
+    (Used by algos/linkpred.py's wedge joins.)"""
+    seed = ray.data.from_arrow(
+        pa.table({k: pa.array([v], None) for k, v in sentinel_row.items()})
+    )
+    return ds.union(seed)
+
+
 def _tight(ds: ray.data.Dataset, P: int) -> ray.data.Dataset:
     """Materialize + repartition to min(P, rows) NONEMPTY blocks.
 
