@@ -17,6 +17,41 @@ import ray
 from parallel_louvain_method_ray.graph.build import GraphHandle
 from parallel_louvain_method_ray.graph.csr import unpack_shards
 
+# below this entry count the whole traversal runs on the driver: each
+# distributed round is a full Ray Data execution (~1 s of operator fixed
+# cost regardless of data size), so a handful of rounds on a toy graph
+# costs 10x the actual work. Mirrors EngineConfig.driver_local_entries
+# (the broadcast tier already holds O(V) driver state either way; final
+# distances are the same unique min-plus fixpoint on both paths).
+_DRIVER_LOCAL_ENTRIES = 200_000
+
+
+def _local_csr(graph: GraphHandle):
+    """Driver-side CSR (indptr, cols, weights) of a SMALL graph."""
+    from parallel_louvain_method_ray.algos.louvain import _collect_entries
+
+    src, dst, w = _collect_entries(graph)
+    n = graph.n
+    order = np.lexsort((dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+    return indptr, dst, w
+
+
+def _row_gather(indptr: np.ndarray, rows: np.ndarray):
+    """Indices of every CSR entry of `rows`, concatenated (vectorized)."""
+    counts = indptr[rows + 1] - indptr[rows]
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), counts
+    out = (
+        np.repeat(indptr[rows], counts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+    return out, counts
+
 
 def bfs_distances(
     graph: GraphHandle,
@@ -32,6 +67,19 @@ def bfs_distances(
     inf = np.int64(n)
     dist = np.full(n, inf, dtype=np.int64)
     dist[np.asarray(seeds, dtype=np.int64)] = 0
+    if graph.n_entries <= _DRIVER_LOCAL_ENTRIES:
+        # frontier BFS on a driver-local CSR (same unique fixpoint)
+        indptr, cols, _ = _local_csr(graph)
+        frontier = np.unique(np.asarray(seeds, dtype=np.int64))
+        level = np.int64(0)
+        while frontier.size and level < max_rounds:
+            gather, _ = _row_gather(indptr, frontier)
+            nbr = cols[gather]
+            new = np.unique(nbr[dist[nbr] > level + 1])
+            dist[new] = level + 1
+            frontier = new
+            level += 1
+        return dist, {"rounds": int(level)}
     rounds = 0
     while rounds < max_rounds:
         dist_ref = ray.put(dist)
@@ -96,6 +144,24 @@ def sssp_hops(
     n = graph.n
     dist = np.full(n, np.inf, dtype=np.float64)
     dist[np.asarray(seeds, dtype=np.int64)] = 0.0
+    if graph.n_entries <= _DRIVER_LOCAL_ENTRIES:
+        # the SAME one-relaxation-per-round Jacobi loop, driver-local
+        indptr, cols, w = _local_csr(graph)
+        if cols.size == 0:
+            return dist, {"hops": hops}
+        nonempty = np.diff(indptr) > 0
+        # reduceat quirks: an empty row reads the NEXT slice's first
+        # element, and a trailing empty row's start == len(cols) is out
+        # of bounds — clamp the starts and mask empty rows afterwards
+        starts = np.minimum(indptr[:-1], cols.size - 1)
+        for _ in range(hops):
+            cand = np.minimum.reduceat(dist[cols] + w, starts)
+            cand[~nonempty] = np.inf
+            better = cand < dist
+            if not better.any():
+                break
+            dist[better] = cand[better]
+        return dist, {"hops": hops}
 
     for _ in range(hops):
         dist_ref = ray.put(dist)
@@ -182,6 +248,21 @@ def bfs_parents(
     One distance fixpoint + ONE extra shuffle-free pass."""
     dist, meta = bfs_distances(graph, np.array([root]), max_rounds=max_rounds)
     n = graph.n
+    if graph.n_entries <= _DRIVER_LOCAL_ENTRIES:
+        # same min-vid parent rule on a driver-local CSR (one pass)
+        parent = np.full(n, -1, dtype=np.int64)
+        parent[root] = root
+        indptr, cols, _ = _local_csr(graph)
+        if cols.size:
+            nonempty = np.diff(indptr) > 0
+            starts = np.minimum(indptr[:-1], cols.size - 1)
+            cur = np.repeat(dist, np.diff(indptr))
+            cand = np.where(dist[cols] == cur - 1, cols, np.int64(n))
+            row_min = np.minimum.reduceat(cand, starts)
+            row_min[~nonempty] = n
+            has = (row_min < n) & (dist > 0) & (dist < n)
+            parent[has] = row_min[has]
+        return parent, dist, meta
     dist_ref = ray.put(dist)
 
     def kernel(batch: pa.Table) -> pa.Table:

@@ -324,3 +324,28 @@ def test_hits_matches_dense_oracle():
         ho /= ho.sum()
     np.testing.assert_allclose(h, ho, atol=1e-12)
     np.testing.assert_allclose(a, ao, atol=1e-12)
+
+
+def test_bfs_sssp_parents_driver_local_matches_distributed(monkeypatch):
+    """Small graphs route BFS/SSSP/parents to the driver-local CSR path;
+    forcing the gate to 0 must reproduce identical results from the
+    distributed per-round kernels (unique fixpoint / same Jacobi rounds /
+    same min-vid parent rule)."""
+    from parallel_louvain_method_ray.algos import bfs as bfs_mod
+
+    src, dst, w = random_graph(70, 4, seed=33, weights=True)
+    g = graph_from_entry_arrays(
+        src, dst, w, EngineConfig(num_partitions=4), n_vertices=70
+    )
+    seeds = np.array([0, 23, 55])
+    d_loc, _ = bfs_mod.bfs_distances(g, seeds)
+    s_loc, _ = bfs_mod.sssp_hops(g, seeds, hops=3)
+    p_loc, pd_loc, _ = bfs_mod.bfs_parents(g, root=0)
+    monkeypatch.setattr(bfs_mod, "_DRIVER_LOCAL_ENTRIES", 0)
+    d_dist, _ = bfs_mod.bfs_distances(g, seeds)
+    s_dist, _ = bfs_mod.sssp_hops(g, seeds, hops=3)
+    p_dist, pd_dist, _ = bfs_mod.bfs_parents(g, root=0)
+    np.testing.assert_array_equal(d_loc, d_dist)
+    np.testing.assert_allclose(s_loc, s_dist, rtol=0, atol=0)
+    np.testing.assert_array_equal(p_loc, p_dist)
+    np.testing.assert_array_equal(pd_loc, pd_dist)
