@@ -234,6 +234,59 @@ def test_lpa_partitioned_matches_broadcast(P):
         assert meta["sweeps"] <= sweeps
 
 
+def test_pool_hub_skew_star_graph():
+    """A star hub (one vertex on every edge) concentrates one partition's
+    work but must not change results: HITS, PageRank, CC and LPA on a
+    star-plus-ring fixture match their broadcast twins at P=4."""
+    from parallel_louvain_method_ray.algos.components import (
+        connected_components,
+    )
+    from parallel_louvain_method_ray.algos.hits import hits
+    from parallel_louvain_method_ray.algos.joined import (
+        joined_graph_from_handle,
+    )
+    from parallel_louvain_method_ray.algos.lpa import label_propagation
+    from parallel_louvain_method_ray.algos.pagerank import pagerank
+    from parallel_louvain_method_ray.config import EngineConfig
+    from parallel_louvain_method_ray.graph.build import graph_from_entry_arrays
+    from parallel_louvain_method_ray.state.spmv_pool import (
+        cc_partitioned,
+        hits_partitioned,
+        lpa_partitioned,
+        pagerank_partitioned,
+    )
+
+    n = 101  # vertex 0 is the hub of a 100-leaf star; leaves form a ring
+    leaves = np.arange(1, n, dtype=np.int64)
+    src = np.concatenate([np.zeros(n - 1, dtype=np.int64), leaves])
+    dst = np.concatenate([leaves, np.roll(leaves, -1)])
+    g = graph_from_entry_arrays(
+        src, dst, np.ones(len(src)), EngineConfig(num_partitions=4)
+    )
+    edges = joined_graph_from_handle(g).edges
+
+    rb, _ = pagerank(g, tol=0.0, max_iter=5)
+    out, _ = pagerank_partitioned(edges, g.n, tol=0.0, max_iter=5, partitions=4)
+    np.testing.assert_allclose(_col(out, "rank"), rb, rtol=1e-12)
+
+    lb, _ = connected_components(g)
+    out, _ = cc_partitioned(edges, g.n, partitions=4)
+    np.testing.assert_array_equal(_col(out, "label"), lb)
+
+    ll, _ = label_propagation(g, max_sweeps=2)
+    out, _ = lpa_partitioned(edges, g.n, max_sweeps=2, partitions=4)
+    np.testing.assert_array_equal(_col(out, "label"), ll)
+
+    hb, ab, _ = hits(edges, g.n, iters=2, weight_col="weight")
+    out, _ = hits_partitioned(
+        edges, g.n, iters=2, weight_col="weight", partitions=4
+    )
+    np.testing.assert_allclose(_col(out, "hub"), hb, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(
+        _col(out, "authority"), ab, rtol=1e-12, atol=1e-15
+    )
+
+
 def test_hits_joined_delegates_and_validates():
     from parallel_louvain_method_ray.algos.joined import hits_joined
 
