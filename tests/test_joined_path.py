@@ -146,10 +146,12 @@ def test_louvain_auto_routes_to_join_path():
     assert q == q_ref
 
 
-def test_louvain_joined_salted_hub_path_bitwise():
-    # hub fixture: a star center with high degree; tiny threshold forces
-    # the SALTED two-stage neighbor-weight aggregate — result must still
-    # be bit-identical to the unsalted Jacobi kernel (integer weights)
+def test_louvain_joined_hub_fixture_bitwise():
+    # hub fixture: a star center with high degree. (The r4 all-Dataset
+    # sweep salted its neighbor-weight groupby above the threshold; the
+    # BSP pool pre-combines per-(src, comm) partials per partition, so
+    # the threshold is accepted-and-ignored.) Result must be
+    # bit-identical to the Jacobi kernel (integer weights).
     src, dst, w, _ = planted_partition_graph(30, 3, 4, 1, seed=7)
     hub_src = np.zeros(29, dtype=np.int64)
     hub_dst = np.arange(1, 30, dtype=np.int64)
