@@ -24,6 +24,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
+# driver-local peel gate: distinct undirected pairs at or below this run
+# the whole loop on the driver (mirrors algos/bfs.py:_DRIVER_LOCAL_ENTRIES)
+_DRIVER_LOCAL_PAIRS = 200_000
+
 
 def undirected_dedup(
     edges: ray.data.Dataset, src_col: str = "src", dst_col: str = "dst"
@@ -63,6 +67,34 @@ def kcore_bounded(
     or the earlier fixpoint, which is identical — and metrics)."""
     und = undirected_dedup(edges, src_col, dst_col).materialize()
     alive = np.zeros(n, dtype=bool)
+
+    # tiny graphs run the identical peel loop driver-locally: each
+    # distributed round is a full Ray Data execution (~0.2-1 s of fixed
+    # cost), and below the engine's driver-local budget the pair list
+    # fits the driver anyway (same gate family as EngineConfig.
+    # driver_local_entries — the third tier the architecture documents)
+    if und.count() <= _DRIVER_LOCAL_PAIRS:
+        ats, bts = [], []
+        for batch in und.iter_batches(batch_format="pyarrow"):
+            t = pa.table(batch)
+            ats.append(t.column("a").to_numpy(zero_copy_only=False))
+            bts.append(t.column("b").to_numpy(zero_copy_only=False))
+        a = np.concatenate(ats) if ats else np.empty(0, np.int64)
+        b = np.concatenate(bts) if bts else np.empty(0, np.int64)
+        alive[a] = True
+        alive[b] = True
+        done = 0
+        for r in range(rounds):
+            live = alive[a] & alive[b]
+            deg = np.bincount(a[live], minlength=n) + np.bincount(
+                b[live], minlength=n
+            )
+            new_alive = alive & (deg >= k)
+            done = r + 1
+            if np.array_equal(new_alive, alive):
+                break
+            alive = new_alive
+        return alive, {"rounds": done}
 
     # round 0: every vertex incident to an edge, as a distributed
     # distinct-vid aggregate — per-block np.unique inside map_batches, then

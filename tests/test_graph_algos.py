@@ -349,3 +349,26 @@ def test_bfs_sssp_parents_driver_local_matches_distributed(monkeypatch):
     np.testing.assert_allclose(s_loc, s_dist, rtol=0, atol=0)
     np.testing.assert_array_equal(p_loc, p_dist)
     np.testing.assert_array_equal(pd_loc, pd_dist)
+
+
+def test_kcore_bounded_driver_local_matches_distributed(monkeypatch):
+    """Forcing the driver-local peel gate to 0 must reproduce identical
+    alive sets and round counts from the distributed per-round kernel
+    (same Jacobi semantics, including a pre-fixpoint rounds bound)."""
+    import pyarrow as pa
+    import ray.data
+
+    from parallel_louvain_method_ray.algos import kcore as kc
+
+    rng = np.random.default_rng(12)
+    m = 600
+    src = rng.integers(0, 80, m).astype(np.int64)
+    dst = rng.integers(0, 80, m).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    for k, rounds in ((3, 16), (3, 2), (5, 16)):
+        a_loc, m_loc = kc.kcore_bounded(edges, n=80, k=k, rounds=rounds)
+        monkeypatch.setattr(kc, "_DRIVER_LOCAL_PAIRS", 0)
+        a_dist, m_dist = kc.kcore_bounded(edges, n=80, k=k, rounds=rounds)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(a_loc, a_dist)
+        assert m_loc["rounds"] == m_dist["rounds"]
