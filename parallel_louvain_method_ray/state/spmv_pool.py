@@ -81,6 +81,26 @@ def _split_edges(
     return tuple(out) if P > 1 else out[0]
 
 
+def _resolve_parts(parts) -> list:
+    """Partial tables arrive as ObjectRefs from the cross-actor wave
+    path, or as plain Arrow tables when a P==1 sweep is FUSED into one
+    actor call (no exchange needed — see the *_fused methods). Returns
+    the non-None tables either way."""
+    parts = list(parts)
+    if parts and isinstance(parts[0], ray.ObjectRef):
+        parts = ray.get(parts)
+    return [t for t in parts if t is not None]
+
+
+def _resolve_parts_keep_none(parts) -> list:
+    """Like _resolve_parts but preserves None entries — the serve-style
+    methods answer requester k with response k, so positions matter."""
+    parts = list(parts)
+    if parts and isinstance(parts[0], ray.ObjectRef):
+        parts = ray.get(parts)
+    return parts
+
+
 @ray.remote
 def _split_vec(block: pa.Table, P: int, vid_col: str, val_col: str):
     """Bucket one (vid, value) block by vid % P for SpmvShard.ingest_vec."""
@@ -121,7 +141,7 @@ class SpmvShard:
         self.r_w = np.empty(0, dtype=np.float64)
 
     def _concat(self, parts):
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         if not tabs:
             e = np.empty(0, dtype=np.int64)
             return e, e, np.empty(0, dtype=np.float64)
@@ -184,7 +204,7 @@ class SpmvShard:
         """Sum my bucket's partials into the named slice; return the
         slice's scalar sum (the L1-normalization input)."""
         y = np.zeros(self.n_owned, dtype=np.float64)
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         if tabs:
             t = pa.concat_tables(tabs)
             v = t.column("v").to_numpy(zero_copy_only=False)
@@ -246,7 +266,7 @@ class SpmvShard:
         (the Jacobi `changed` count — partials were computed against the
         wave-start snapshot, so this is one synchronous relaxation)."""
         cur = self.vecs[name]
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         if not tabs:
             return 0
         t = pa.concat_tables(tabs)
@@ -341,7 +361,7 @@ class SpmvShard:
         than — the current label's own weight. Returns #adoptions (the
         lpa.py / lpa_sweep_joined decision rule, Jacobi: `name` was
         snapshotted by the wave before any combine mutates it)."""
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         if not tabs:
             return 0
         t = pa.concat_tables(tabs)
@@ -390,7 +410,7 @@ class SpmvShard:
     def ingest_vec(self, name: str, parts, default: float) -> None:
         """Load a sharded vector from split (v, x) tables."""
         x = np.full(self.n_owned, float(default))
-        for t in ray.get(list(parts)):
+        for t in _resolve_parts_keep_none(parts):
             if t is None:
                 continue
             v = t.column("v").to_numpy(zero_copy_only=False)
@@ -427,7 +447,7 @@ class SpmvShard:
         over my owned comm ids (comm ids ARE vids)."""
         tot = np.zeros(self.n_owned)
         csize = np.zeros(self.n_owned, dtype=np.int64)
-        for t in ray.get(list(parts)):
+        for t in _resolve_parts_keep_none(parts):
             if t is None:
                 continue
             idx = (
@@ -445,7 +465,7 @@ class SpmvShard:
         neighbor-community weight table k (kept as actor state for the
         decide step) and return per-bucket distinct-comm stat requests
         (candidate comms plus my vertices' own comms)."""
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         if tabs:
             t = pa.concat_tables(tabs)
             s = t.column("s").to_numpy(zero_copy_only=False)
@@ -483,7 +503,7 @@ class SpmvShard:
         tot = self.vecs["_lv_tot"]
         csize = self.vecs["_lv_csize"]
         resp = []
-        for t in ray.get(list(parts)):
+        for t in _resolve_parts_keep_none(parts):
             if t is None:
                 resp.append(None)
                 continue
@@ -503,7 +523,7 @@ class SpmvShard:
         min-comm tie-break, remove-before-gain own threshold
         max(k_own - (tot_own - dv) * dv / m2, 0), singleton-swap guard.
         Mutates the assignment slice; returns #moves."""
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         si, c, kw = self._lv_k
         del self._lv_k
         if si.size == 0:
@@ -559,6 +579,29 @@ class SpmvShard:
         asn[seg_si[accept]] = best[accept].astype(np.float64)
         return int(accept.sum())
 
+    # -- P==1 fusions: the identical wave methods chained inside ONE
+    # actor call (partials passed as plain tables — no exchange, no
+    # object-store round trips; a P=1 sweep was 6 RPCs of pure latency)
+
+    def louvain_sweep_fused(self, m2: float) -> int:
+        sp = self.stats_wave("asn", "deg")
+        self.stats_combine([sp])
+        kp = self.lpa_wave("asn")
+        req = self.louvain_k_combine("asn", [kp])
+        resp = self.stats_serve([req])
+        return self.louvain_decide("asn", "deg", m2, [resp])
+
+    def lpa_sweep_fused(self, name: str) -> int:
+        return self.lpa_combine(name, [self.lpa_wave(name)])
+
+    def min_fwd_fused(self, name: str, plus: str) -> int:
+        return self.combine_min(name, [self.min_wave(name, plus)])
+
+    def pointer_jump_fused(self, name: str) -> int:
+        req = self.jump_request(name)
+        resp = self.jump_serve(name, [req])
+        return self.jump_apply(name, [resp])
+
     # -- pointer-jump gather (CC doubling: label <- label(label)) --------
 
     def jump_request(self, name: str):
@@ -578,7 +621,7 @@ class SpmvShard:
         my slice — one response table per requester."""
         lbl = self.vecs[name]
         resp = []
-        for t in ray.get(list(parts)):
+        for t in _resolve_parts_keep_none(parts):
             if t is None:
                 resp.append(None)
                 continue
@@ -591,7 +634,7 @@ class SpmvShard:
         """label <- min(label, label(label)) using the gathered map. The
         vector is untouched between request and apply, so every label is
         present in the map by construction."""
-        tabs = [t for t in ray.get(list(parts)) if t is not None]
+        tabs = _resolve_parts(parts)
         if not tabs:
             return 0
         t = pa.concat_tables(tabs)
@@ -761,10 +804,7 @@ class SpmvPool:
                 ]
             )
         else:
-            partial = self.actors[0].min_wave.remote(name, plus)
-            changed = ray.get(
-                [self.actors[0].combine_min.remote(name, [partial])]
-            )
+            changed = ray.get([self.actors[0].min_fwd_fused.remote(name, plus)])
         return int(sum(changed))
 
     def load_vec(
@@ -845,14 +885,9 @@ class SpmvPool:
                 ]
             )
         else:
-            sp = A[0].stats_wave.remote("asn", "deg")
-            kp = A[0].lpa_wave.remote("asn")
-            ray.get(A[0].stats_combine.remote([sp]))
-            req = A[0].louvain_k_combine.remote("asn", [kp])
-            resp = A[0].stats_serve.remote([req])
-            moves = ray.get(
-                [A[0].louvain_decide.remote("asn", "deg", m2, [resp])]
-            )
+            # one fused actor call — the 6-RPC wave chain is pure
+            # latency when there is no one to exchange with
+            moves = ray.get([A[0].louvain_sweep_fused.remote(m2)])
         return int(sum(moves))
 
     def lpa_sweep(self, name: str) -> int:
@@ -873,10 +908,7 @@ class SpmvPool:
                 ]
             )
         else:
-            partial = self.actors[0].lpa_wave.remote(name)
-            changed = ray.get(
-                [self.actors[0].lpa_combine.remote(name, [partial])]
-            )
+            changed = ray.get([self.actors[0].lpa_sweep_fused.remote(name)])
         return int(sum(changed))
 
     def pointer_jump(self, name: str) -> int:
@@ -903,9 +935,7 @@ class SpmvPool:
                 ]
             )
         else:
-            req = self.actors[0].jump_request.remote(name)
-            resp = self.actors[0].jump_serve.remote(name, [req])
-            changed = ray.get([self.actors[0].jump_apply.remote(name, [resp])])
+            changed = ray.get([self.actors[0].pointer_jump_fused.remote(name)])
         return int(sum(changed))
 
     def collect(self, spec: list[tuple[str, float, str]]) -> ray.data.Dataset:
