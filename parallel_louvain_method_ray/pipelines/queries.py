@@ -1167,6 +1167,15 @@ def q_jaccard_pairs(sf_dir: str):
     return shingle_jaccard_pairs(_augmented_docs(sf_dir), threshold=0.6)
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Substring-level dedup (Lee et al. 2021 signal): per-doc duplicated
+    char-20-gram fraction via ONE range shuffle + boundary-run merge
+    (dedup/substring.py) — no large-key groupby, no pair blow-up."""
+    from parallel_louvain_method_ray.dedup.substring import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(_augmented_docs(sf_dir), k=20, stride=5)
+
+
 def _emb_ds(sf_dir: str):
     return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -1473,6 +1482,34 @@ ORACLE_SQL.update(
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.6
+        """,
+        "dup_ngram_stats": f"""
+            WITH aug AS ({_AUG_DOCS_SQL}),
+            grams AS (
+                -- char 20-grams sampled at stride 5 (windows fully inside
+                -- the text), DISTINCT per doc; the key is the SAME
+                -- md5-lower64 the engine shuffles on, so even a hash
+                -- collision cannot cause a mismatch
+                SELECT DISTINCT doc_id,
+                       md5_number_lower(substr(text, p, 20)) AS h
+                FROM aug,
+                     unnest(range(1, length(text) - 20 + 2, 5)) AS r(p)
+                WHERE length(text) >= 20
+            ),
+            tot AS (SELECT doc_id, count(*) AS t FROM grams GROUP BY 1),
+            shared AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+            dup AS (
+                SELECT doc_id, count(*) AS d
+                FROM grams JOIN shared USING (h) GROUP BY 1
+            )
+            SELECT a.doc_id,
+                   CAST(coalesce(t.t, 0) AS BIGINT) AS ngrams_total,
+                   CAST(coalesce(d.d, 0) AS BIGINT) AS dup_ngrams,
+                   round(coalesce(d.d, 0) * 1.0
+                         / greatest(coalesce(t.t, 0), 1), 6) AS dup_ratio
+            FROM (SELECT doc_id FROM aug) a
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN dup d USING (doc_id)
         """,
         "bpe_token_counts": f"""
             SELECT doc_id,
@@ -1799,6 +1836,7 @@ QUERIES.update(
         "near_dup_minhash": q_near_dup_minhash,
         "near_dup_simhash": q_near_dup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cosine_topk": q_cosine_topk,
@@ -2810,6 +2848,7 @@ _GATE_FIRST = [
     "media_audio_decode",
     "media_video_frames",
     # text analytics
+    "dup_ngram_stats",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
