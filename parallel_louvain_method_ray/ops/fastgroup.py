@@ -65,15 +65,13 @@ def boundary_run_totals(
             {key: np.array([k[0], k[-1]]), "n": np.array([head, tail], np.int64)}
         )
 
-    rows = pa.concat_tables(
-        [
-            pa.table(b)
-            for b in sorted_ds.map_batches(
-                boundary_rows, batch_format="pyarrow", batch_size=None
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
-    if rows.num_rows == 0:
+    parts = [
+        pa.table(b)
+        for b in sorted_ds.map_batches(
+            boundary_rows, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts or (rows := pa.concat_tables(parts)).num_rows == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     bk = rows.column(key).to_numpy(zero_copy_only=False)
     bn = rows.column("n").to_numpy(zero_copy_only=False)

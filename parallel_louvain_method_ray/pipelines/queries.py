@@ -1176,6 +1176,25 @@ def q_dup_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_augmented_docs(sf_dir), k=20, stride=5)
 
 
+def q_hll_buckets(sf_dir: str):
+    """HyperLogLog registers over the document token stream: per-batch
+    vectorized partials -> 2^b-key groupby max — no shuffle ever sees a
+    token (ops/sketch.py). The oracle recomputes every register."""
+    from parallel_louvain_method_ray.ops.sketch import hll_bucket_rhos
+
+    return hll_bucket_rhos(_docs_ds(sf_dir))
+
+
+def q_hll_distinct_tokens(sf_dir: str):
+    """HLL distinct-token estimate next to the exact count (sort-based
+    distinct) and the relative error; the estimator's harmonic-mean
+    denominator is an exact integer on both sides, so the float estimate
+    is order-independent and hash-comparable."""
+    from parallel_louvain_method_ray.ops.sketch import hll_distinct_tokens
+
+    return hll_distinct_tokens(_docs_ds(sf_dir))
+
+
 def _emb_ds(sf_dir: str):
     return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -1424,6 +1443,24 @@ _AUG_DOCS_SQL = r"""
           FROM documents WHERE doc_id < 20)
 """
 
+# HLL oracle shares the engine's constants (ops/sketch.py) and rebuilds
+# the exact bit_length via a comparison ladder (log2 on a 54-bit integer
+# misrounds near powers of two after the float conversion)
+from parallel_louvain_method_ray.ops.sketch import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_B as _HLL_B,
+    HLL_M as _HLL_M,
+)
+
+
+def _bitlen_ladder_sql(col: str, maxbits: int) -> str:
+    arms = " ".join(
+        f"WHEN {col} >= {1 << (b - 1)} THEN {b}"
+        for b in range(maxbits, 0, -1)
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
 ORACLE_SQL.update(
     {
         "lang_id": f"""
@@ -1482,6 +1519,85 @@ ORACLE_SQL.update(
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.6
+        """,
+        "hll_buckets": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents
+            ),
+            hv AS (SELECT md5_number_lower(tok) AS h FROM toks),
+            br AS (
+                SELECT CAST(h >> {64 - _HLL_B} AS BIGINT) AS bucket,
+                       h & CAST({(1 << (64 - _HLL_B)) - 1} AS UBIGINT)
+                           AS suffix
+                FROM hv
+            )
+            SELECT bucket,
+                   CAST(max({64 - _HLL_B + 1}
+                            - {_bitlen_ladder_sql("suffix", 64 - _HLL_B)})
+                        AS BIGINT) AS rho
+            FROM br GROUP BY bucket
+        """,
+        "hll_distinct_tokens": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents
+            ),
+            hv AS (SELECT md5_number_lower(tok) AS h FROM toks),
+            br AS (
+                SELECT CAST(h >> {64 - _HLL_B} AS BIGINT) AS bucket,
+                       h & CAST({(1 << (64 - _HLL_B)) - 1} AS UBIGINT)
+                           AS suffix
+                FROM hv
+            ),
+            regs AS (
+                SELECT bucket,
+                       max({64 - _HLL_B + 1}
+                           - {_bitlen_ladder_sql("suffix", 64 - _HLL_B)})
+                           AS rho
+                FROM br GROUP BY bucket
+            ),
+            agg AS (
+                SELECT count(*) AS nz,
+                       coalesce(sum(CAST(power(2, {64 - _HLL_B + 1} - rho)
+                                         AS HUGEINT)), 0) AS s_nz
+                FROM regs
+            ),
+            ex AS (SELECT count(DISTINCT h) AS exact_distinct FROM hv),
+            calc AS (
+                SELECT {_HLL_M} - nz AS v,
+                       CAST(s_nz + CAST({_HLL_M} - nz AS HUGEINT)
+                            * CAST(power(2, {64 - _HLL_B + 1}) AS HUGEINT)
+                            AS DOUBLE) AS s
+                FROM agg
+            ),
+            est AS (
+                -- literals cast to DOUBLE (DuckDB parses them as DECIMAL,
+                -- which overflows the multiply and rounds the division);
+                -- the expression tree mirrors ops/sketch.py exactly
+                SELECT v,
+                       CAST({_HLL_ALPHA!r} AS DOUBLE)
+                       * CAST({_HLL_M} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)
+                       * CAST({2.0 ** (64 - _HLL_B + 1)!r} AS DOUBLE)
+                       / s AS e_raw
+                FROM calc
+            ),
+            fin AS (
+                SELECT v,
+                       CASE WHEN e_raw <= CAST({2.5 * _HLL_M!r} AS DOUBLE)
+                                 AND v > 0
+                            THEN CAST({_HLL_M} AS DOUBLE)
+                                 * ln(CAST({_HLL_M} AS DOUBLE) / v)
+                            ELSE e_raw END AS e
+                FROM est
+            )
+            SELECT CAST({_HLL_M} AS BIGINT) AS m,
+                   CAST(v AS BIGINT) AS zero_buckets,
+                   round(e, 6) AS estimate,
+                   CAST(exact_distinct AS BIGINT) AS exact_distinct,
+                   round((e - exact_distinct)
+                         / greatest(exact_distinct, 1), 6) AS rel_error
+            FROM fin, ex
         """,
         "dup_ngram_stats": f"""
             WITH aug AS ({_AUG_DOCS_SQL}),
@@ -1837,6 +1953,8 @@ QUERIES.update(
         "near_dup_simhash": q_near_dup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "hll_buckets": q_hll_buckets,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cosine_topk": q_cosine_topk,
@@ -2849,6 +2967,8 @@ _GATE_FIRST = [
     "media_video_frames",
     # text analytics
     "dup_ngram_stats",
+    "hll_buckets",
+    "hll_distinct_tokens",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
