@@ -979,6 +979,23 @@ ORACLE_SQL["katz5_joined"] = ORACLE_SQL["katz5"]
 ORACLE_SQL["sssp_8hop_joined"] = ORACLE_SQL["sssp_8hop"]
 
 
+_WALK_SEEDS = 8
+_WALK_STEPS = 4
+
+
+def q_random_walks4(sf_dir: str):
+    """Deterministic 4-step random walks (DeepWalk-style sampling) from
+    suppliers 0..7 over the symmetrized co-graph; next hop = argmin of
+    splitmix64(cur*K1 + cand*K2 + step) over the neighbors — reproducible
+    at any parallelism and unrolled join-for-join by the SQL oracle."""
+    from parallel_louvain_method_ray.algos.walks import deterministic_walks
+
+    sym = dedup_entries(symmetrize(supplier_cograph_edges(sf_dir)))
+    return deterministic_walks(
+        sym, np.arange(_WALK_SEEDS, dtype=np.int64), steps=_WALK_STEPS
+    )
+
+
 def _register_kronecker_oracles() -> None:
     from parallel_louvain_method_ray.sources.kronecker import (
         kronecker_edges_sql,
@@ -1003,6 +1020,7 @@ QUERIES = {
     "sssp_8hop_joined": q_sssp_8hop_joined,
     "kronecker_edges": q_kronecker_edges,
     "graph500_bfs_parents": q_graph500_bfs_parents,
+    "random_walks4": q_random_walks4,
     "symmetrize_dedup": q_symmetrize,
     "weighted_degrees": q_degrees,
     "renumber_vertices": q_renumber,
@@ -2941,6 +2959,48 @@ ORACLE_SQL["louvain_first_sweep_joined"] = ORACLE_SQL["louvain_first_sweep"]
 _register_kronecker_oracles()
 
 
+def _walk_oracle_sql(steps: int = _WALK_STEPS, n_seeds: int = _WALK_SEEDS) -> str:
+    """Unrolled walk oracle: per step, join the frontier with the
+    symmetrized co-graph, rebuild the engine's splitmix64 choice hash via
+    _mix_ctes over the IDENTICAL expression cur*K1 + cand*K2 + step, and
+    take the (hash, candidate)-minimal neighbor per seed."""
+    from parallel_louvain_method_ray.algos.walks import WALK_K1, WALK_K2
+
+    ctes = [
+        f"sym AS ({SUPPLIER_SYM_SQL})",
+        "step0 AS (SELECT s_suppkey AS seed, s_suppkey AS cur"
+        f" FROM supplier WHERE s_suppkey < {n_seeds})",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"s{t}_in AS (SELECT p.seed, p.cur, e.dst AS i"
+            f" FROM step{t - 1} p JOIN sym e ON e.src = p.cur)"
+        )
+        ctes.append(
+            _mix_ctes(
+                {"wk": f"cur * {WALK_K1} + i * {WALK_K2} + {t}"},
+                f"s{t}_in",
+                prefix=f"s{t}_",
+                carry=("seed", "cur"),
+            ).strip()
+        )
+        ctes.append(
+            f"step{t} AS (SELECT seed, i AS cur FROM ("
+            f"SELECT seed, i, row_number() OVER ("
+            f"PARTITION BY seed ORDER BY wk, i) AS rn FROM s{t}_mixed"
+            f") WHERE rn = 1)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT seed, CAST({t} AS BIGINT) AS step,"
+        f" CAST(cur AS BIGINT) AS vid FROM step{t}"
+        for t in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+ORACLE_SQL["random_walks4"] = _walk_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
@@ -2959,6 +3019,7 @@ _GATE_FIRST = [
     "web_adamic_adar_capped",
     "web_jaccard_links",
     "web_kcore7",
+    "random_walks4",
     "web_hits3_joined",
     "web_kcore7_joined",
     # multimodal decode
