@@ -3001,6 +3001,89 @@ def _walk_oracle_sql(steps: int = _WALK_STEPS, n_seeds: int = _WALK_SEEDS) -> st
 ORACLE_SQL["random_walks4"] = _walk_oracle_sql()
 
 
+def q_orders_bloom_semi(sf_dir: str):
+    """Bloom-filter semi-join pre-filter (ops/bloom.py): orders whose
+    custkey passes a 4096-bit/k=3 Bloom filter built over the
+    BUILDING-segment customers, with an exact-membership flag. The pass
+    set INCLUDES the filter's deterministic false positives — the oracle
+    recomputes the k splitmix64 bit positions per key, so the filter
+    itself is hash-checked, not just the downstream join."""
+    from parallel_louvain_method_ray.ops.bloom import bloom_semi_join
+
+    build = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return bloom_semi_join(
+        orders,
+        "o_custkey",
+        build,
+        "c_custkey",
+        m_bits=4096,
+        k=3,
+        seed=1,
+        with_true_match=True,
+    )
+
+
+def _bloom_oracle_sql(m_bits: int = 4096, k: int = 3, seed: int = 1) -> str:
+    """Recompute the Bloom pass set exactly: both sides' k bit positions
+    via the engine's counter layout (key * BLOOM_PAD + j + seed-salt)
+    through the shared _mix_ctes splitmix64 chain."""
+    from parallel_louvain_method_ray.ops.bloom import BLOOM_PAD, _salt
+
+    salt = int(_salt(seed))
+    mask = f"CAST({m_bits - 1} AS UBIGINT)"
+    return f"""
+        WITH bkeys AS (
+            SELECT DISTINCT c_custkey AS bkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        bljs AS (SELECT range AS j FROM range({k})),
+        blbgrid AS (
+            SELECT CAST(bkey * {BLOOM_PAD} + j AS UBIGINT) AS i, bkey
+            FROM bkeys CROSS JOIN bljs
+        ),
+        {_mix_ctes({"h": f"i + {salt}"}, "blbgrid", prefix="bb", carry=("bkey",))},
+        blbpos AS (
+            SELECT DISTINCT CAST(h & {mask} AS BIGINT) AS pos FROM bbmixed
+        ),
+        blpkeys AS (SELECT DISTINCT o_custkey AS pkey FROM orders),
+        blpgrid AS (
+            SELECT CAST(pkey * {BLOOM_PAD} + j AS UBIGINT) AS i, pkey
+            FROM blpkeys CROSS JOIN bljs
+        ),
+        {_mix_ctes({"h": f"i + {salt}"}, "blpgrid", prefix="pb", carry=("pkey",))},
+        blppos AS (
+            SELECT DISTINCT pkey, CAST(h & {mask} AS BIGINT) AS pos
+            FROM pbmixed
+        ),
+        blneed AS (SELECT pkey, count(*) AS need FROM blppos GROUP BY pkey),
+        blhit AS (
+            SELECT pkey, count(*) AS hit
+            FROM blppos JOIN blbpos USING (pos) GROUP BY pkey
+        ),
+        blpass AS (
+            SELECT pn.pkey FROM blneed pn JOIN blhit ph USING (pkey)
+            WHERE ph.hit = pn.need
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(b.bkey IS NOT NULL AS BIGINT) AS true_match
+        FROM orders o
+        JOIN blpass ON o.o_custkey = blpass.pkey
+        LEFT JOIN bkeys b ON b.bkey = o.o_custkey
+    """
+
+
+QUERIES["orders_bloom_semi"] = q_orders_bloom_semi
+ORACLE_SQL["orders_bloom_semi"] = _bloom_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
@@ -3040,6 +3123,7 @@ _GATE_FIRST = [
     "customers_with_orders",
     "customers_without_events_shuffle",
     "customers_with_orders_shuffle",
+    "orders_bloom_semi",
     "events_orders_asof",
     "part_price_bands",
     "events_tumbling",
