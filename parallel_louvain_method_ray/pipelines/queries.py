@@ -3084,6 +3084,90 @@ QUERIES["orders_bloom_semi"] = q_orders_bloom_semi
 ORACLE_SQL["orders_bloom_semi"] = _bloom_oracle_sql()
 
 
+def q_cms_cells(sf_dir: str):
+    """Count-min sketch registers over the document token stream
+    (ops/cms.py): per-batch dense partials (the shuffle never sees a
+    token) -> one groupby over packed cell keys. Cell-exact oracle."""
+    from parallel_louvain_method_ray.ops.cms import cms_cells
+
+    return cms_cells(_docs_ds(sf_dir))
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters (exact count >= 50) with their count-min point
+    estimates — both sides integer-exact, est >= exact by construction."""
+    from parallel_louvain_method_ray.ops.cms import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs_ds(sf_dir), threshold=50)
+
+
+def _cms_ctes(prefix_salt_seed: int = 1) -> str:
+    """Shared CTE chain rebuilding the engine's cell indices:
+    mix64(md5_lower64(tok) * CMS_PAD + r + salt) & (width-1)."""
+    from parallel_louvain_method_ray.ops.bloom import _salt
+    from parallel_louvain_method_ray.ops.cms import CMS_DEPTH, CMS_PAD, CMS_WIDTH
+
+    salt = int(_salt(prefix_salt_seed))
+    mask = f"CAST({CMS_WIDTH - 1} AS UBIGINT)"
+    return f"""
+        cmtoks AS (
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+            FROM documents
+        ),
+        cmhv AS (SELECT md5_number_lower(tok) AS th FROM cmtoks),
+        cmrs AS (SELECT range AS r FROM range({CMS_DEPTH})),
+        cmgrid AS (
+            SELECT CAST(th AS HUGEINT) * {CMS_PAD} + r AS i, r
+            FROM cmhv CROSS JOIN cmrs
+        ),
+        {_mix_ctes({"h": f"i + {salt}"}, "cmgrid", prefix="cm", carry=("r",))},
+        cmcellcounts AS (
+            SELECT r, CAST(h & {mask} AS BIGINT) AS cell, count(*) AS n
+            FROM cmmixed GROUP BY 1, 2
+        )
+    """
+
+
+def _cms_hh_oracle_sql(threshold: int = 50, seed: int = 1) -> str:
+    from parallel_louvain_method_ray.ops.bloom import _salt
+    from parallel_louvain_method_ray.ops.cms import CMS_PAD, CMS_WIDTH
+
+    salt = int(_salt(seed))
+    mask = f"CAST({CMS_WIDTH - 1} AS UBIGINT)"
+    return f"""
+        WITH {_cms_ctes(seed)},
+        cmexact AS (
+            SELECT tok, count(*) AS n_exact FROM cmtoks
+            GROUP BY tok HAVING count(*) >= {threshold}
+        ),
+        cmchv AS (SELECT tok, md5_number_lower(tok) AS th FROM cmexact),
+        cmcgrid AS (
+            SELECT CAST(th AS HUGEINT) * {CMS_PAD} + r AS i, tok, r
+            FROM cmchv CROSS JOIN cmrs
+        ),
+        {_mix_ctes({"h": f"i + {salt}"}, "cmcgrid", prefix="cq", carry=("tok", "r"))},
+        cmqcells AS (
+            SELECT tok, r, CAST(h & {mask} AS BIGINT) AS cell FROM cqmixed
+        ),
+        cmest AS (
+            SELECT q.tok, min(cc.n) AS cms_est
+            FROM cmqcells q
+            JOIN cmcellcounts cc ON cc.r = q.r AND cc.cell = q.cell
+            GROUP BY q.tok
+        )
+        SELECT e.tok AS token, e.n_exact, est.cms_est
+        FROM cmexact e JOIN cmest est ON est.tok = e.tok
+    """
+
+
+QUERIES["cms_cells"] = q_cms_cells
+ORACLE_SQL["cms_cells"] = (
+    f"WITH {_cms_ctes()} SELECT r, cell, n FROM cmcellcounts"
+)
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+ORACLE_SQL["cms_heavy_hitters"] = _cms_hh_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
@@ -3113,6 +3197,8 @@ _GATE_FIRST = [
     "dup_ngram_stats",
     "hll_buckets",
     "hll_distinct_tokens",
+    "cms_cells",
+    "cms_heavy_hitters",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
