@@ -3168,6 +3168,40 @@ QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
 ORACLE_SQL["cms_heavy_hitters"] = _cms_hh_oracle_sql()
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """End-to-end dedup (dedup/cluster.py): exact shingle-jaccard pairs
+    -> connected components over the pair graph -> cluster_id = min
+    doc_id per component, keep = 1 for the canonical member. The oracle
+    recomputes the pairs (the jaccard_pairs SQL verbatim) and closes
+    them transitively with a recursive min-label CTE."""
+    from parallel_louvain_method_ray.dedup.cluster import near_dup_clusters
+
+    return near_dup_clusters(_augmented_docs(sf_dir), threshold=0.6)
+
+
+QUERIES["near_dup_clusters"] = q_near_dup_clusters
+ORACLE_SQL["near_dup_clusters"] = f"""
+    WITH RECURSIVE
+    ndpairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["jaccard_pairs"]}) jp
+    ),
+    ndedges AS (
+        SELECT doc_a AS u, doc_b AS v FROM ndpairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM ndpairs
+    ),
+    ndall AS (SELECT doc_id FROM ({_AUG_DOCS_SQL}) ad),
+    ndreach(v, lab) AS (
+        SELECT doc_id, doc_id FROM ndall
+        UNION
+        SELECT e.v, r.lab FROM ndreach r JOIN ndedges e ON e.u = r.v
+    )
+    SELECT v AS doc_id, min(lab) AS cluster_id,
+           CAST(v = min(lab) AS BIGINT) AS keep
+    FROM ndreach GROUP BY v
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
@@ -3199,6 +3233,7 @@ _GATE_FIRST = [
     "hll_distinct_tokens",
     "cms_cells",
     "cms_heavy_hitters",
+    "near_dup_clusters",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
