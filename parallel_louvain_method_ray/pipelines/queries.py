@@ -3179,6 +3179,51 @@ def q_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(_augmented_docs(sf_dir), threshold=0.6)
 
 
+def q_bigram_lift(sf_dir: str):
+    """Top-20 bigram collocations by count with association lift
+    (textops/collocations.py): combiner -> hashed groupby -> distributed
+    (count desc, md5 asc) sort+limit; strings and unigram counts for the
+    winners recovered in one broadcast-filtered pass. Lift instead of
+    PMI so the float is one exactly-rounded division on both sides."""
+    from parallel_louvain_method_ray.textops.collocations import bigram_lift_topk
+
+    return bigram_lift_topk(_docs_ds(sf_dir), k_top=20, min_count=5)
+
+
+QUERIES["bigram_lift"] = q_bigram_lift
+ORACLE_SQL["bigram_lift"] = """
+    WITH cotoksed AS (
+        SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+    ),
+    cobi AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM cotoksed, unnest(range(1, len(toks))) AS r(i)
+    ),
+    cocnt AS (
+        SELECT w1, w2, count(*) AS c12,
+               md5_number_lower(w1 || chr(31) || w2) AS bh
+        FROM cobi GROUP BY 1, 2
+    ),
+    cotokstream AS (
+        SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents
+    ),
+    couni AS (SELECT tok, count(*) AS c FROM cotokstream GROUP BY tok),
+    cotot AS (SELECT count(*) AS t FROM cotokstream),
+    cotop AS (
+        SELECT w1, w2, c12 FROM cocnt WHERE c12 >= 5
+        ORDER BY c12 DESC, bh ASC LIMIT 20
+    )
+    SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+           round(CAST(p.c12 * tt.t AS DOUBLE)
+                 / CAST(u1.c * u2.c AS DOUBLE), 6) AS lift
+    FROM cotop p
+    CROSS JOIN cotot tt
+    JOIN couni u1 ON u1.tok = p.w1
+    JOIN couni u2 ON u2.tok = p.w2
+"""
+
+
 QUERIES["near_dup_clusters"] = q_near_dup_clusters
 ORACLE_SQL["near_dup_clusters"] = f"""
     WITH RECURSIVE
@@ -3234,6 +3279,7 @@ _GATE_FIRST = [
     "cms_cells",
     "cms_heavy_hitters",
     "near_dup_clusters",
+    "bigram_lift",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
