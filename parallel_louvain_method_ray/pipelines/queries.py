@@ -3168,6 +3168,44 @@ QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
 ORACLE_SQL["cms_heavy_hitters"] = _cms_hh_oracle_sql()
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics + coefficient over the
+    supplier cograph (algos/assortativity.py): integer stub sums, one
+    CAST-to-double division shared with the oracle. At gate scales every
+    product stays under 2^53, so the hash compare is exact."""
+    from parallel_louvain_method_ray.algos.assortativity import assortativity_stats
+
+    # materialize: both the degree pass and the stub-sums pass consume the
+    # edge table; without this the lineitem cograph expansion runs twice
+    return assortativity_stats(supplier_cograph_edges(sf_dir).materialize())
+
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+ORACLE_SQL["degree_assortativity"] = f"""
+    WITH {SYM_CTES},
+    asdeg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    aspairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM sym s
+        JOIN asdeg du ON du.v = s.src
+        JOIN asdeg dv ON dv.v = s.dst
+    ),
+    asst AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sx2,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM aspairs
+    )
+    SELECT m, sx, sx2, sxy,
+           CASE WHEN m * sx2 - sx * sx = 0 THEN 0.0
+                ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+                           / CAST(m * sx2 - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM asst
+"""
+
+
 def q_near_dup_clusters(sf_dir: str):
     """End-to-end dedup (dedup/cluster.py): exact shingle-jaccard pairs
     -> connected components over the pair graph -> cluster_id = min
@@ -3280,6 +3318,7 @@ _GATE_FIRST = [
     "cms_heavy_hitters",
     "near_dup_clusters",
     "bigram_lift",
+    "degree_assortativity",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
