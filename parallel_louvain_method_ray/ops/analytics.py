@@ -68,6 +68,42 @@ def exact_quantiles(
     )
 
 
+def group_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Exact percentile_disc quantiles PER GROUP: (key, q, value) rows,
+    value = the smallest group element whose cumulative count reaches
+    max(1, ceil(q * n)) — values are picked, never interpolated, so the
+    result hash-compares against SQL bit-for-bit.
+
+    One groupby shuffle, per-group numpy sort inside map_groups; output
+    is O(groups x len(qs)). The rank is computed as ceil(double(q) *
+    double(n)) on BOTH sides (not the exact rational) so inexact qs like
+    0.9 round identically here and in the oracle."""
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column(value_col).to_numpy(zero_copy_only=False))
+        n = v.shape[0]
+        ranks = np.maximum(1, np.ceil(np.float64(n) * np.asarray(qs))).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [group.column(key_col)[0].as_py()] * len(qs),
+                    group.column(key_col).type,
+                ),
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array(v[ranks - 1]),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key_col: str,

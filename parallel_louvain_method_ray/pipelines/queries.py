@@ -3168,6 +3168,38 @@ QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
 ORACLE_SQL["cms_heavy_hitters"] = _cms_hh_oracle_sql()
 
 
+def q_order_price_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (ops/analytics.py:group_quantiles):
+    o_totalprice percentile_disc at 4 ranks per order priority — one
+    groupby shuffle, O(groups x qs) output."""
+    from parallel_louvain_method_ray.ops.analytics import group_quantiles
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return group_quantiles(
+        orders, "o_orderpriority", "o_totalprice", [0.25, 0.5, 0.75, 0.9]
+    )
+
+
+QUERIES["order_price_group_quantiles"] = q_order_price_group_quantiles
+ORACLE_SQL["order_price_group_quantiles"] = """
+    WITH gq AS (
+        SELECT o_orderpriority AS k, o_totalprice AS v,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    gqs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+    SELECT gq.k AS o_orderpriority, gqs.q AS q, min(gq.v) AS value
+    FROM gq CROSS JOIN gqs
+    WHERE gq.rn >= greatest(1, CAST(ceil(gqs.q * gq.n) AS BIGINT))
+    GROUP BY 1, 2
+"""
+
+
 def q_degree_assortativity(sf_dir: str):
     """Degree-assortativity sufficient statistics + coefficient over the
     supplier cograph (algos/assortativity.py): integer stub sums, one
@@ -3322,6 +3354,7 @@ _GATE_FIRST = [
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
+    "order_price_group_quantiles",
     "doc_sample_10pct",
     # relational / join operators
     "top_orders_per_customer",
