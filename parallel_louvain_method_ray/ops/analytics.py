@@ -104,6 +104,42 @@ def group_quantiles(
     return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def running_total(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> ray.data.Dataset:
+    """Ordered cumulative sum per key — the window-aggregate shape
+    (SQL: sum(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)). One groupby shuffle; the scan inside the group is a
+    sorted numpy cumsum.
+
+    INTEGER values only (int64): SQL engines may evaluate ordered window
+    sums with a segment tree, so float partial sums can differ in the
+    last ulp from a sequential scan — integer addition is associative,
+    making the result hash-exact under any evaluation order. Callers
+    with money-like floats convert to cents first (floor(x*100 + 0.5),
+    mirrored in the oracle)."""
+
+    def scan(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in order_cols]
+        )
+        g = group.take(order)
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"running_total requires an integer value column, got {v.dtype}"
+            )
+        return g.append_column(
+            out_col, pa.array(np.cumsum(v).astype(np.int64), pa.int64())
+        )
+
+    return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key_col: str,

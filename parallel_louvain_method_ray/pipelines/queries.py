@@ -3182,6 +3182,54 @@ def q_order_price_group_quantiles(sf_dir: str):
     )
 
 
+def q_customer_running_totals(sf_dir: str):
+    """Ordered window aggregate (ops/analytics.py:running_total):
+    per-customer cumulative spend in (orderdate, orderkey) order. Prices
+    ride as exact integer cents so the cumulative sum is hash-exact
+    under any evaluation order (SQL window sums may use a segment
+    tree)."""
+    from parallel_louvain_method_ray.ops.analytics import running_total
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        return b.drop_columns(["o_totalprice"]).append_column(
+            "price_cents", pa.array(cents, pa.int64())
+        )
+
+    ds = orders.map_batches(to_cents, batch_format="pyarrow")
+    return running_total(
+        ds,
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "price_cents",
+        out_col="running_cents",
+    )
+
+
+QUERIES["customer_running_totals"] = q_customer_running_totals
+ORACLE_SQL["customer_running_totals"] = """
+    WITH rt AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+    )
+    SELECT o_custkey, o_orderdate, o_orderkey, price_cents,
+           CAST(sum(price_cents) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_cents
+    FROM rt
+"""
+
+
 QUERIES["order_price_group_quantiles"] = q_order_price_group_quantiles
 ORACLE_SQL["order_price_group_quantiles"] = """
     WITH gq AS (
@@ -3355,6 +3403,7 @@ _GATE_FIRST = [
     "doc_chunks",
     "doc_length_quantiles",
     "order_price_group_quantiles",
+    "customer_running_totals",
     "doc_sample_10pct",
     # relational / join operators
     "top_orders_per_customer",
