@@ -403,3 +403,49 @@ def hash_sample(
         return batch.filter(pa.array(sel))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default: int = 100,
+    denom: int = 100,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling — the language/source
+    REBALANCING step of a training-data pipeline: row kept iff
+    md5_lower64(canonical key) % denom < rates.get(stratum, default).
+
+    Same predicate family as `hash_sample` (engine-independent,
+    resumable, no RNG state, streaming map with zero shuffles); the
+    stratum only selects the threshold. The rates table is a plain dict
+    captured in the task closure — O(strata) bytes, shipped once per
+    task."""
+    from parallel_louvain_method_ray.dedup.minhash import md5_lower64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if pa.types.is_integer(col.type):
+            col = pc.cast(col, pa.string())
+        elif not (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ):
+            raise TypeError(
+                f"stratified_hash_sample key must be integer or string,"
+                f" got {col.type}"
+            )
+        keys = col.to_pylist()
+        strata = batch.column(strata_col).to_pylist()
+        sel = np.fromiter(
+            (
+                k is not None
+                and md5_lower64(k) % denom < rates.get(s, default)
+                for k, s in zip(keys, strata)
+            ),
+            dtype=bool,
+            count=len(keys),
+        )
+        return batch.filter(pa.array(sel))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -3213,6 +3213,27 @@ def q_customer_running_totals(sf_dir: str):
     )
 
 
+def q_doc_sample_stratified(sf_dir: str):
+    """Language-rebalancing sampler (ops/analytics.py:
+    stratified_hash_sample): keep 5% of English docs and 40% of every
+    other language — deterministic md5 thresholds per stratum, zero
+    shuffles, resumable."""
+    from parallel_louvain_method_ray.ops.analytics import stratified_hash_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", rates={"en": 5}, default=40
+    )
+
+
+QUERIES["doc_sample_stratified"] = q_doc_sample_stratified
+ORACLE_SQL["doc_sample_stratified"] = """
+    SELECT doc_id, lang FROM documents
+    WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+          CASE WHEN lang = 'en' THEN 5 ELSE 40 END
+"""
+
+
 QUERIES["customer_running_totals"] = q_customer_running_totals
 ORACLE_SQL["customer_running_totals"] = """
     WITH rt AS (
@@ -3405,6 +3426,7 @@ _GATE_FIRST = [
     "order_price_group_quantiles",
     "customer_running_totals",
     "doc_sample_10pct",
+    "doc_sample_stratified",
     # relational / join operators
     "top_orders_per_customer",
     "customers_without_events",
