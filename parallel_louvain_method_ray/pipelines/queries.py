@@ -3213,6 +3213,52 @@ def q_customer_running_totals(sf_dir: str):
     )
 
 
+def q_web_ktruss4(sf_dir: str):
+    """Bounded k-truss (k=4, 3 synchronous support peels) of the web link
+    graph (algos/ktruss.py) — the edge-level dense-subgraph filter next
+    to web_kcore7. Exact Jacobi round semantics, so the 3-round SQL
+    unroll (per round: common-neighbor support via a 3-way join, then a
+    simultaneous threshold cut) is an exact oracle even where the peel
+    has not converged."""
+    from parallel_louvain_method_ray.algos.ktruss import ktruss_bounded
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+    alive, _ = ktruss_bounded(edges, n, k=4, rounds=3)
+    return alive
+
+
+def _web_ktruss4_sql(k: int = 4, rounds: int = 3) -> str:
+    parts = [
+        f"WITH {_WEB_LNK_CTES},",
+        "e0 AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b "
+        "FROM lnk WHERE i <> j),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"s{r} AS (SELECT a AS u, b AS v FROM e{r} "
+            f"UNION ALL SELECT b AS u, a AS v FROM e{r}),"
+        )
+        parts.append(
+            f"sup{r} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS c "
+            f"FROM e{r} e "
+            f"JOIN s{r} x ON x.u = e.a "
+            f"JOIN s{r} y ON y.u = e.b AND y.v = x.v "
+            f"GROUP BY e.a, e.b),"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"JOIN sup{r} s ON s.a = e.a AND s.b = e.b "
+            f"WHERE s.c >= {k - 2}),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT a, b FROM e{rounds}"
+
+
+QUERIES["web_ktruss4"] = q_web_ktruss4
+ORACLE_SQL["web_ktruss4"] = _web_ktruss4_sql()
+
+
 def q_doc_sample_stratified(sf_dir: str):
     """Language-rebalancing sampler (ops/analytics.py:
     stratified_hash_sample): keep 5% of English docs and 40% of every
@@ -3404,6 +3450,7 @@ _GATE_FIRST = [
     "web_adamic_adar_capped",
     "web_jaccard_links",
     "web_kcore7",
+    "web_ktruss4",
     "random_walks4",
     "web_hits3_joined",
     "web_kcore7_joined",
