@@ -3213,6 +3213,62 @@ def q_customer_running_totals(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (dedup/decontaminate.py): flag
+    augmented-corpus docs sharing any exact word 5-gram with the
+    'benchmark' slice (doc_id % 50 == 0 of the raw table). Broadcast
+    gram set, one streaming scoring pass, per-position hit counts."""
+    from parallel_louvain_method_ray.dedup.decontaminate import ngram_decontaminate
+
+    def bench_slice(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    bench = _docs_ds(sf_dir).map_batches(bench_slice, batch_format="pyarrow")
+    return ngram_decontaminate(_augmented_docs(sf_dir), bench, k=5)
+
+
+def _decontaminate_oracle_sql(k: int = 5) -> str:
+    """Shingling identical to the jaccard-family SQL (normalized word
+    k-grams, whole-text fallback), WITHOUT DISTINCT on the corpus side —
+    hits are counted per gram position."""
+    km1 = k - 1
+    bound = (
+        f"greatest(len(toks) - {km1}, "
+        f"CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END) + 1"
+    )
+    return f"""
+        WITH dcbt AS (
+            SELECT regexp_extract_all({_NORM_SQL}, '\\S+') AS toks
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        dcbsh AS (
+            SELECT DISTINCT array_to_string(toks[i:i + {km1}], ' ') AS sh
+            FROM dcbt, unnest(range(1, {bound})) AS r(i)
+        ),
+        dcaug AS ({_AUG_DOCS_SQL}),
+        dct AS (
+            SELECT doc_id, regexp_extract_all({_NORM_SQL}, '\\S+') AS toks
+            FROM dcaug
+        ),
+        dcsh AS (
+            SELECT doc_id, array_to_string(toks[i:i + {km1}], ' ') AS sh
+            FROM dct, unnest(range(1, {bound})) AS r(i)
+        ),
+        dch AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM dcsh JOIN dcbsh USING (sh) GROUP BY doc_id
+        )
+        SELECT a.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+        FROM dcaug a LEFT JOIN dch h USING (doc_id)
+    """
+
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLE_SQL["decontaminate"] = _decontaminate_oracle_sql()
+
+
 def q_web_ktruss4(sf_dir: str):
     """Bounded k-truss (k=4, 3 synchronous support peels) of the web link
     graph (algos/ktruss.py) — the edge-level dense-subgraph filter next
@@ -3460,6 +3516,7 @@ _GATE_FIRST = [
     "media_video_frames",
     # text analytics
     "dup_ngram_stats",
+    "decontaminate",
     "hll_buckets",
     "hll_distinct_tokens",
     "cms_cells",
