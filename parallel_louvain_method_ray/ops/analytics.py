@@ -110,34 +110,107 @@ def running_total(
     order_cols: list[str],
     value_col: str,
     out_col: str = "running_total",
+    mode: str = "sort",
 ) -> ray.data.Dataset:
     """Ordered cumulative sum per key — the window-aggregate shape
     (SQL: sum(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
-    PRECEDING)). One groupby shuffle; the scan inside the group is a
-    sorted numpy cumsum.
+    PRECEDING)).
 
     INTEGER values only (int64): SQL engines may evaluate ordered window
     sums with a segment tree, so float partial sums can differ in the
     last ulp from a sequential scan — integer addition is associative,
     making the result hash-exact under any evaluation order. Callers
     with money-like floats convert to cents first (floor(x*100 + 0.5),
-    mirrored in the oracle)."""
+    mirrored in the oracle).
 
-    def scan(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[(c, "ascending") for c in order_cols]
-        )
-        g = group.take(order)
-        v = g.column(value_col).to_numpy(zero_copy_only=False)
+    mode="sort" (default, the scale path): ONE global range shuffle
+    (`sort(key, *order)`), then every block computes its key-segmented
+    cumsum vectorized and the driver chains O(blocks) carry offsets —
+    a key spanning blocks is by construction the last run of one block
+    and the first of the next, so only block-boundary runs need the
+    carry (same argument as `ops/fastgroup.py`). No per-group Python
+    call, so a billion tiny groups cost the same as one big one.
+
+    mode="groups": the reference semantics via groupby().map_groups —
+    one Python call per distinct key; kept for parity testing and for
+    callers that need per-group isolation."""
+    if mode == "groups":
+
+        def scan(group: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                group, sort_keys=[(c, "ascending") for c in order_cols]
+            )
+            g = group.take(order)
+            v = g.column(value_col).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    f"running_total requires an integer value column,"
+                    f" got {v.dtype}"
+                )
+            return g.append_column(
+                out_col, pa.array(np.cumsum(v).astype(np.int64), pa.int64())
+            )
+
+        return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
+    if mode != "sort":
+        raise ValueError(f"unknown running_total mode: {mode!r}")
+
+    s = ds.sort([key_col, *order_cols]).materialize()
+    refs = s.get_internal_block_refs()
+
+    @ray.remote
+    def block_summary(block):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        if t.num_rows == 0:
+            return (None, 0, None, 0, 0)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
         if not np.issubdtype(v.dtype, np.integer):
             raise TypeError(
                 f"running_total requires an integer value column, got {v.dtype}"
             )
-        return g.append_column(
-            out_col, pa.array(np.cumsum(v).astype(np.int64), pa.int64())
+        head = int(np.searchsorted(k, k[0], side="right"))
+        tail = t.num_rows - int(np.searchsorted(k, k[-1], side="left"))
+        return (
+            k[0],
+            int(v[:head].sum()),
+            k[-1],
+            int(v[t.num_rows - tail :].sum()),
+            t.num_rows,
         )
 
-    return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
+    sums = ray.get([block_summary.remote(r) for r in refs])
+    offsets = []
+    carry_key, carry_sum = object(), 0  # sentinel never equals a real key
+    for fk, ft, lk, lt, n in sums:
+        off = carry_sum if (n > 0 and fk == carry_key) else 0
+        offsets.append(off)
+        if n == 0:
+            continue
+        if fk == lk:
+            # the whole block is one key run: extend the carry
+            carry_key, carry_sum = lk, off + lt
+        else:
+            carry_key, carry_sum = lk, lt
+
+    @ray.remote
+    def finalize(block, offset: int):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        lens = np.diff(np.r_[starts, k.shape[0]])
+        prev = np.concatenate([[0], cs[:-1]])
+        seg = cs - np.repeat(prev[starts], lens)
+        head = int(np.searchsorted(k, k[0], side="right"))
+        seg[:head] += offset
+        return t.append_column(out_col, pa.array(seg, pa.int64()))
+
+    out_refs = [finalize.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def topk_per_group(

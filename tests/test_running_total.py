@@ -59,6 +59,46 @@ def test_block_invariance(ray_session):
             assert out.equals(expected)
 
 
+def test_sort_vs_groups_mode_parity(ray_session):
+    rng = np.random.default_rng(17)
+    rows = [
+        (int(k), int(o), int(v))
+        for k, o, v in zip(
+            rng.integers(0, 8, 500),
+            rng.permutation(500),
+            rng.integers(-9, 9, 500),
+        )
+    ]
+    a = (
+        running_total(_ds(rows, 9), "k", ["o"], "v", mode="sort")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    b = (
+        running_total(_ds(rows, 9), "k", ["o"], "v", mode="groups")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert a[["k", "o", "v", "running_total"]].equals(
+        b[["k", "o", "v", "running_total"]]
+    )
+
+
+def test_single_key_spanning_many_blocks(ray_session):
+    # one key across every block exercises the carry chain, including
+    # whole-block single-run extension
+    rows = [(1, i, 1) for i in range(1000)]
+    out = (
+        running_total(_ds(rows, 16), "k", ["o"], "v", mode="sort")
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert out["running_total"].tolist() == list(range(1, 1001))
+
+
 def test_rejects_float_values(ray_session):
     ds = ray.data.from_arrow(
         pa.table(
