@@ -53,6 +53,22 @@ def _as_u64(keys: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(keys.astype(np.int64)).view(np.uint64)
 
 
+# above this many bytes per bitmap the driver OR-loop is replaced by a
+# log-depth tree reduce over the per-block partials (a 1 GiB filter over
+# thousands of blocks would otherwise stream every partial through the
+# driver serially)
+TREE_REDUCE_MIN_BYTES = 1 << 20
+_TREE_FAN_IN = 8
+
+
+@ray.remote
+def _or_reduce(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out |= p
+    return out
+
+
 def build_bloom_bits(
     ds: ray.data.Dataset,
     key: str,
@@ -61,7 +77,9 @@ def build_bloom_bits(
     seed: int = 1,
 ) -> np.ndarray:
     """Packed big-endian bitmap (uint8[m_bits/8]) over the distinct values
-    of ``ds[key]`` — per-block partials, driver OR (tree-reducible)."""
+    of ``ds[key]`` — per-block partials, then a driver OR for small
+    bitmaps or a fan-in-8 tree reduce above TREE_REDUCE_MIN_BYTES (the
+    merge is associative+commutative, so both orders are identical)."""
     if m_bits & (m_bits - 1) or m_bits < 8:
         raise ValueError(f"m_bits must be a power of two >= 8, got {m_bits}")
     if not (1 <= k <= BLOOM_PAD):
@@ -77,13 +95,37 @@ def build_bloom_bits(
             {"bits": pa.array([np.packbits(bits).tobytes()], pa.binary())}
         )
 
-    out = np.zeros(m_bits // 8, np.uint8)
-    for b in ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
-        for raw in b.column("bits").to_pylist():
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    if m_bits // 8 < TREE_REDUCE_MIN_BYTES:
+        out = np.zeros(m_bits // 8, np.uint8)
+        for b in parts_ds.iter_batches(batch_format="pyarrow"):
+            for raw in b.column("bits").to_pylist():
+                out |= np.frombuffer(raw, np.uint8)
+        return out
+    # tree path: partials never transit the driver — each Dataset block is
+    # OR-collapsed where it lives, then the refs tree-reduce
+    @ray.remote
+    def block_or(block) -> np.ndarray:
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        out = np.zeros(m_bits // 8, np.uint8)
+        if "bits" not in t.column_names:  # schema-less empty block
+            return out
+        for raw in t.column("bits").to_pylist():
             out |= np.frombuffer(raw, np.uint8)
-    return out
+        return out
+
+    refs = [
+        block_or.remote(r)
+        for r in parts_ds.materialize().get_internal_block_refs()
+    ]
+    if not refs:
+        return np.zeros(m_bits // 8, np.uint8)
+    while len(refs) > 1:
+        refs = [
+            _or_reduce.remote(*refs[i : i + _TREE_FAN_IN])
+            for i in range(0, len(refs), _TREE_FAN_IN)
+        ]
+    return ray.get(refs[0])
 
 
 def bloom_contains(
