@@ -3213,6 +3213,73 @@ def q_customer_running_totals(sf_dir: str):
     )
 
 
+def q_web_anf2_registers(sf_dir: str):
+    """HyperANF (algos/anf.py): per-vertex HLL registers of the <=2-hop
+    ball on the web link graph — 2 synchronous max-merge rounds, exactly
+    reproduced by the oracle from the 2-hop reachability closure.
+    Integer-only output keeps the gate register-exact; the estimate step
+    is the hll_distinct_tokens formula."""
+    from parallel_louvain_method_ray.algos.anf import (
+        anf_register_table,
+        anf_registers,
+    )
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    regs, _ = anf_registers(q_web_link_edges(sf_dir), n, rounds=2, seed=1)
+    return anf_register_table(regs)
+
+
+def _web_anf2_sql(rounds: int = 2, seed: int = 1) -> str:
+    from parallel_louvain_method_ray.algos.anf import ANF_B
+    from parallel_louvain_method_ray.ops.bloom import _salt
+
+    salt = int(_salt(seed))
+    sb = 64 - ANF_B
+    mask = f"CAST({(1 << sb) - 1} AS UBIGINT)"
+    parts = [
+        f"WITH {_WEB_LNK_CTES},",
+        "anund AS (SELECT DISTINCT least(i,j) AS a, greatest(i,j) AS b "
+        "FROM lnk WHERE i <> j),",
+        "ansym AS (SELECT a AS u, b AS v FROM anund "
+        "UNION ALL SELECT b AS u, a AS v FROM anund),",
+        "anv AS (SELECT doc_id AS v FROM documents),",
+        "anr0 AS (SELECT v, v AS u FROM anv),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"anr{r} AS MATERIALIZED (SELECT DISTINCT v, u FROM ("
+            f"SELECT v, u FROM anr{r - 1} "
+            f"UNION ALL "
+            f"SELECT p.v, e.v AS u FROM anr{r - 1} p "
+            f"JOIN ansym e ON e.u = p.u)),"
+        )
+    parts.append(
+        "angrid AS (SELECT CAST(v AS UBIGINT) AS i, v FROM anv),"
+    )
+    parts.append(
+        _mix_ctes(
+            {"h": f"i + {salt}"}, "angrid", prefix="an", carry=("v",)
+        ).strip()
+        + ","
+    )
+    parts.append(
+        f"anh AS (SELECT v AS u, CAST(h >> {sb} AS BIGINT) AS bucket, "
+        f"{sb + 1} - {_bitlen_ladder_sql(f'(h & {mask})', sb)} AS rho "
+        f"FROM anmixed)"
+    )
+    body = "\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT r.v AS vid, hh.bucket, CAST(max(hh.rho) AS BIGINT) AS rho\n"
+        f"FROM anr{rounds} r JOIN anh hh ON hh.u = r.u\n"
+        f"GROUP BY 1, 2"
+    )
+
+
+QUERIES["web_anf2_registers"] = q_web_anf2_registers
+ORACLE_SQL["web_anf2_registers"] = _web_anf2_sql()
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (dedup/decontaminate.py): flag
     augmented-corpus docs sharing any exact word 5-gram with the
@@ -3507,6 +3574,7 @@ _GATE_FIRST = [
     "web_jaccard_links",
     "web_kcore7",
     "web_ktruss4",
+    "web_anf2_registers",
     "random_walks4",
     "web_hits3_joined",
     "web_kcore7_joined",
