@@ -3213,6 +3213,125 @@ def q_customer_running_totals(sf_dir: str):
     )
 
 
+def q_cc_size_histogram(sf_dir: str):
+    """Component-size distribution over the supplier cograph: (size,
+    n_components) — the fragmentation diagnostic read next to the degree
+    histogram. Derived from the engine's CC labels with two bincounts;
+    the oracle recomputes the closure with the recursive min-label CTE."""
+    graph, raw = _graph_for(sf_dir)
+    labels, _ = connected_components(graph)
+    sizes = np.bincount(labels)
+    sizes = sizes[sizes > 0]
+    sz, cnt = np.unique(sizes, return_counts=True)
+    return _t(size=sz.astype(np.int64), n_components=cnt.astype(np.int64))
+
+
+ORACLE_SQL["cc_size_histogram"] = f"""
+    WITH RECURSIVE {SYM_CTES},
+    reach(v, lab) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.v
+    ),
+    lab AS (SELECT v, min(lab) AS label FROM reach GROUP BY v),
+    csz AS (SELECT label, count(*) AS size FROM lab GROUP BY label)
+    SELECT size, count(*) AS n_components FROM csz GROUP BY size
+"""
+QUERIES["cc_size_histogram"] = q_cc_size_histogram
+
+
+def q_web_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the web link graph: of the distinct
+    directed (src, dst) links, how many have the reverse link? Integer
+    counts + one CAST-to-double division (the crawl-quality metric a
+    directed link graph reports next to assortativity). The reverse-edge
+    probe is a broadcast sorted-key lookup inside map_batches — the same
+    tier contract as the triangles probe; the join tier would self-join
+    the distinct edge table on swapped keys."""
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    distinct = (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .materialize()
+    )
+    nn = np.int64(n)
+    keys = np.sort(
+        np.concatenate(
+            [
+                pa.table(b).column("src").to_numpy(zero_copy_only=False)
+                * nn
+                + pa.table(b).column("dst").to_numpy(zero_copy_only=False)
+                for b in distinct.iter_batches(batch_format="pyarrow")
+            ]
+        )
+        if distinct.count()
+        else [np.empty(0, np.int64)]
+    )
+    keys_ref = ray.put(keys)
+
+    def probe(b: pa.Table) -> pa.Table:
+        kk = ray.get(keys_ref)
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        rev = d * nn + s
+        idx = np.searchsorted(kk, rev)
+        idx[idx >= kk.shape[0]] = 0
+        hit = (kk[idx] == rev) if kk.shape[0] else np.zeros(s.shape[0], bool)
+        return pa.table(
+            {
+                "m": pa.array([s.shape[0]], pa.int64()),
+                "m_recip": pa.array([int(hit.sum())], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in distinct.map_batches(
+                probe, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    m = int(pc.sum(parts.column("m")).as_py() or 0)
+    mr = int(pc.sum(parts.column("m_recip")).as_py() or 0)
+    ratio = float(
+        np.floor((float(mr) / float(m)) * 1e6 + 0.5) / 1e6
+    ) if m else 0.0
+    return _t(
+        m=np.array([m], np.int64),
+        m_recip=np.array([mr], np.int64),
+        reciprocity=np.array([ratio], np.float64),
+    )
+
+
+ORACLE_SQL["web_reciprocity"] = f"""
+    WITH {_WEB_LNK_CTES},
+    rdist AS (SELECT DISTINCT i AS s, j AS d FROM lnk WHERE i <> j),
+    rst AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN r.s IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS m_recip
+        FROM rdist e
+        LEFT JOIN rdist r ON r.s = e.d AND r.d = e.s
+    )
+    SELECT m, m_recip,
+           CASE WHEN m = 0 THEN 0.0
+                ELSE round(CAST(m_recip AS DOUBLE) / CAST(m AS DOUBLE), 6)
+           END AS reciprocity
+    FROM rst
+"""
+QUERIES["web_reciprocity"] = q_web_reciprocity
+
+
 def q_web_anf2_registers(sf_dir: str):
     """HyperANF (algos/anf.py): per-vertex HLL registers of the <=2-hop
     ball on the web link graph — 2 synchronous max-merge rounds, exactly
@@ -3592,6 +3711,8 @@ _GATE_FIRST = [
     "near_dup_clusters",
     "bigram_lift",
     "degree_assortativity",
+    "cc_size_histogram",
+    "web_reciprocity",
     "tfidf_top5",
     "doc_chunks",
     "doc_length_quantiles",
