@@ -3084,6 +3084,35 @@ QUERIES["orders_bloom_semi"] = q_orders_bloom_semi
 ORACLE_SQL["orders_bloom_semi"] = _bloom_oracle_sql()
 
 
+def q_bloom_fp_stats(sf_dir: str):
+    """Bloom-filter quality summary: pass/true/false-positive counts of
+    orders_bloom_semi plus the measured fp share of passing rows —
+    integer counts, one CAST-to-double division."""
+    ds = q_orders_bloom_semi(sf_dir)
+    tabs = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    t = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {"o_orderkey": [], "o_custkey": [], "true_match": []}
+        )
+    )
+    n_pass = t.num_rows
+    n_true = int(pc.sum(t.column("true_match")).as_py() or 0)
+    n_fp = n_pass - n_true
+    rate = (
+        float(np.floor((float(n_fp) / float(n_pass)) * 1e6 + 0.5) / 1e6)
+        if n_pass
+        else 0.0
+    )
+    return _t(
+        n_pass=np.array([n_pass], np.int64),
+        n_true=np.array([n_true], np.int64),
+        n_fp=np.array([n_fp], np.int64),
+        fp_rate=np.array([rate], np.float64),
+    )
+
+
 def q_cms_cells(sf_dir: str):
     """Count-min sketch registers over the document token stream
     (ops/cms.py): per-batch dense partials (the shuffle never sees a
@@ -3159,6 +3188,21 @@ def _cms_hh_oracle_sql(threshold: int = 50, seed: int = 1) -> str:
         FROM cmexact e JOIN cmest est ON est.tok = e.tok
     """
 
+
+QUERIES["bloom_fp_stats"] = q_bloom_fp_stats
+ORACLE_SQL["bloom_fp_stats"] = f"""
+    WITH bfs_st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pass,
+               CAST(sum(true_match) AS BIGINT) AS n_true
+        FROM ({_bloom_oracle_sql()}) bb
+    )
+    SELECT n_pass, n_true, n_pass - n_true AS n_fp,
+           CASE WHEN n_pass = 0 THEN 0.0
+                ELSE round(CAST(n_pass - n_true AS DOUBLE)
+                           / CAST(n_pass AS DOUBLE), 6)
+           END AS fp_rate
+    FROM bfs_st
+"""
 
 QUERIES["cms_cells"] = q_cms_cells
 ORACLE_SQL["cms_cells"] = (
