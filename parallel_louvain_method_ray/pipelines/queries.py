@@ -3750,6 +3750,7 @@ _GATE_FIRST = [
     "decontaminate",
     "hll_buckets",
     "hll_distinct_tokens",
+    "bloom_fp_stats",
     "cms_cells",
     "cms_heavy_hitters",
     "near_dup_clusters",
