@@ -3718,6 +3718,72 @@ ORACLE_SQL["near_dup_clusters"] = f"""
 """
 
 
+def q_web_domain_modularity(sf_dir: str):
+    """Modularity of the GIVEN url-domain partition of the web link graph
+    (algos/partition_quality.py): does the domain assignment behave like a
+    community structure before any Louvain search? Integer accumulators
+    (intra weight, total weight, per-domain endpoint sums, their square
+    sum) and ONE shared double expression iw/m - ssq/(4*m*m), so the hash
+    compare is exact. Communities come straight from the url host digits
+    (web/pages.py:page_url: domain = min(i // ppd, 49))."""
+    from parallel_louvain_method_ray.algos.partition_quality import (
+        partition_modularity,
+    )
+
+    edges = q_web_link_edges(sf_dir)
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    ppd = max(1, -(-n // 50))
+
+    def doms(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cs": pa.array(np.minimum(src // ppd, 49).astype(np.int64)),
+                "cd": pa.array(np.minimum(dst // ppd, 49).astype(np.int64)),
+                "n_anchors": b.column("n_anchors"),
+            }
+        )
+
+    return partition_modularity(
+        edges.map_batches(doms, batch_format="pyarrow"),
+        "cs",
+        "cd",
+        weight_col="n_anchors",
+    )
+
+
+QUERIES["web_domain_modularity"] = q_web_domain_modularity
+ORACLE_SQL["web_domain_modularity"] = f"""
+    WITH {_WEB_LNK_CTES},
+    pe AS (
+        SELECT least(i // c.ppd, 49) AS cs, least(j // c.ppd, 49) AS cd
+        FROM lnk, const c
+    ),
+    pm AS (
+        SELECT count(*) AS m,
+               sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS iw
+        FROM pe
+    ),
+    pdeg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT cs AS v FROM pe UNION ALL SELECT cd AS v FROM pe
+        ) GROUP BY v
+    ),
+    pss AS (SELECT sum(d * d) AS ssq, count(*) AS nc FROM pdeg)
+    SELECT CASE WHEN pm.m = 0 THEN 0.0
+                ELSE round(CAST(pm.iw AS DOUBLE) / pm.m
+                           - CAST(pss.ssq AS DOUBLE)
+                             / (4.0 * pm.m * pm.m), 9)
+           END AS q,
+           CAST(pm.iw AS BIGINT) AS intra_w,
+           CAST(pm.m AS BIGINT) AS total_w,
+           CAST(pss.nc AS BIGINT) AS n_communities,
+           CAST(pss.ssq AS BIGINT) AS endpoint_sumsq
+    FROM pm, pss
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
