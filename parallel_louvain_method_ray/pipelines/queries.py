@@ -3784,6 +3784,43 @@ ORACLE_SQL["web_domain_modularity"] = f"""
 """
 
 
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured extraction (ops/semistructured.py): the integer
+    `k` member of the JSON-string `events.props` column pulled by ONE
+    vectorized Arrow C++ extract_regex kernel (no json.loads, no Python
+    row loop), then per-event-type integer stats via combiner ->
+    small groupby. The RE2 pattern is shared verbatim with the oracle's
+    regexp_extract, and the mean is the one shared rounded division."""
+    from parallel_louvain_method_ray.ops.semistructured import (
+        json_field_stats,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    return json_field_stats(ev, "props", "k", "event_type")
+
+
+QUERIES["events_props_stats"] = q_events_props_stats
+ORACLE_SQL["events_props_stats"] = r"""
+    WITH px AS (
+        SELECT event_type,
+               CASE WHEN regexp_matches(props, '"k"\s*:\s*(-?\d+)')
+                    THEN CAST(regexp_extract(
+                             props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)
+               END AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(k) AS n_events,
+           CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_v,
+           min(k) AS min_v,
+           max(k) AS max_v,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_v
+    FROM px GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
