@@ -3821,6 +3821,125 @@ ORACLE_SQL["events_props_stats"] = r"""
 """
 
 
+def _augment_pii(docs):
+    """Deterministic PII planting (the synthetic corpus is word-salad with
+    no PII, so the redaction fixture is constructed — identically on both
+    sides — from doc_id arithmetic): docs with doc_id%3==0 gain an email,
+    %4==0 an IPv4, %5==0 a phone. All Arrow kernels, no Python rows."""
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        id_s = pc.cast(b.column("doc_id"), pa.string())
+        email = pc.if_else(
+            pa.array(ids % 3 == 0),
+            pc.binary_join_element_wise(" mail u", id_s, "@ex.org", ""),
+            "",
+        )
+        ip = pc.if_else(
+            pa.array(ids % 4 == 0),
+            pc.binary_join_element_wise(
+                " ip 10.0.",
+                pc.cast(pa.array((ids % 256).astype(np.int64)), pa.string()),
+                ".7",
+                "",
+            ),
+            "",
+        )
+        phone = pc.if_else(
+            pa.array(ids % 5 == 0),
+            pc.binary_join_element_wise(
+                " call 555-",
+                pc.cast(
+                    pa.array((1000 + ids % 9000).astype(np.int64)), pa.string()
+                ),
+                "",
+            ),
+            "",
+        )
+        t = pc.binary_join_element_wise(b.column("text"), email, ip, phone, "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    return docs.map_batches(aug, batch_format="pyarrow")
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (textops/redact.py): plant deterministic emails /
+    IPv4s / phones into the corpus (doc_id arithmetic, mirrored in the
+    oracle), then scrub with the default rule list — one Arrow C++
+    count_substring_regex + replace_substring_regex kernel pair per rule
+    per batch, rules in order so counts compose identically to the
+    oracle's CTE chain. Returns per-doc rule counts + the redacted text."""
+    from parallel_louvain_method_ray.textops.redact import redact_patterns
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    red = redact_patterns(_augment_pii(docs), "text")
+    return red.map_batches(
+        lambda b: b.rename_columns(
+            ["doc_id", "redacted", "n_email", "n_ip", "n_phone"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pii_oracle() -> str:
+    from parallel_louvain_method_ray.textops.redact import PII_RULES
+
+    (_, p_email, r_email), (_, p_ip, r_ip), (_, p_phone, r_phone) = PII_RULES
+    return (
+        """
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                       ELSE '' END AS t
+        FROM documents
+    ),
+    r1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t, '"""
+        + p_email
+        + """')) AS BIGINT) AS n_email,
+                  regexp_replace(t, '"""
+        + p_email
+        + "', '"
+        + r_email
+        + """', 'g') AS t
+           FROM aug),
+    r2 AS (SELECT doc_id, n_email,
+                  CAST(len(regexp_extract_all(t, '"""
+        + p_ip
+        + """')) AS BIGINT) AS n_ip,
+                  regexp_replace(t, '"""
+        + p_ip
+        + "', '"
+        + r_ip
+        + """', 'g') AS t
+           FROM r1),
+    r3 AS (SELECT doc_id, n_email, n_ip,
+                  CAST(len(regexp_extract_all(t, '"""
+        + p_phone
+        + """')) AS BIGINT) AS n_phone,
+                  regexp_replace(t, '"""
+        + p_phone
+        + "', '"
+        + r_phone
+        + """', 'g') AS t
+           FROM r2)
+    SELECT doc_id, t AS redacted, n_email, n_ip, n_phone FROM r3
+"""
+    )
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
