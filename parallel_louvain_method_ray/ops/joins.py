@@ -234,3 +234,84 @@ def tumbling_window(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window(
+    events: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_us: int,
+    hop_us: int,
+) -> ray.data.Dataset:
+    """Hopping (sliding, hop-aligned) window aggregate: each event falls in
+    window_us/hop_us overlapping windows; output one row per
+    (key, window_start) with count + integer-cents value sum.
+
+    100 TB shape — hopping is NOT "emit every event k times then shuffle":
+    that multiplies shuffle volume by k. It is tumbling at HOP granularity
+    (one shuffle of 1x the events, partial-combined like tumbling_window)
+    followed by a k-way expansion of the already-tiny per-(key, hop)
+    aggregates and a second groupby whose input is |distinct keys x hops|
+    rows, not |events|. Values ride as exact cents
+    (floor(value*100 + 0.5), mirrored in SQL) so the compare is
+    integer-exact — the same contract as ops/analytics.running_total.
+    """
+    if window_us % hop_us != 0:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = _as_int64(batch, ts_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "hop_start": pa.array((ts // hop_us) * hop_us, pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    hops = (
+        events.map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key_col, "hop_start"])
+        .aggregate(Count(), Sum("cents"))
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        hs = batch.column("hop_start").to_numpy(zero_copy_only=False)
+        n = batch.column("count()").to_numpy(zero_copy_only=False)
+        c = batch.column("sum(cents)").to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col)
+        idx = np.repeat(np.arange(len(hs)), k)
+        shift = np.tile(np.arange(k, dtype=np.int64) * hop_us, len(hs))
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(idx)),
+                "window_start": pa.array(np.repeat(hs, k) - shift, pa.int64()),
+                "n": pa.array(np.repeat(n, k).astype(np.int64)),
+                "c": pa.array(np.repeat(c, k).astype(np.int64)),
+            }
+        )
+
+    win = (
+        hops.map_batches(expand, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("n"), Sum("c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start": batch.column("window_start"),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
+                "sum_value_cents": batch.column("sum(c)").cast(pa.int64()),
+            }
+        )
+
+    return win.map_batches(finish, batch_format="pyarrow")

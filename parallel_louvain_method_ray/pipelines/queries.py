@@ -3940,6 +3940,45 @@ QUERIES["pii_scrub"] = q_pii_scrub
 ORACLE_SQL["pii_scrub"] = _pii_oracle()
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (ops/joins.py:hopping_window): 2 h windows
+    every 30 min (k=4 overlap) per event type. One event-sized shuffle at
+    HOP granularity, then a k-way expansion of the tiny hop aggregates —
+    never k x events through the exchange. Integer-cents value contract."""
+    from parallel_louvain_method_ray.ops.joins import hopping_window
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return hopping_window(
+        ev,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        window_us=7_200_000_000,
+        hop_us=1_800_000_000,
+    )
+
+
+QUERIES["events_hopping"] = q_events_hopping
+ORACLE_SQL["events_hopping"] = """
+    WITH hop AS (
+        SELECT event_type,
+               (epoch_us(ts) // 1800000000) * 1800000000 AS hop_start,
+               count(*) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type,
+               hop_start - i.i * 1800000000 AS window_start, n, c
+        FROM hop, (SELECT range AS i FROM range(4)) i
+    )
+    SELECT event_type, window_start,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(c) AS BIGINT) AS sum_value_cents
+    FROM win GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
