@@ -522,3 +522,55 @@ def stratified_hash_sample(
         return batch.filter(pa.array(sel))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    cents_col: str,
+    all_label: str = "ALL",
+) -> pa.Table:
+    """GROUP BY ROLLUP(keys...): count + integer sum at every prefix level
+    of `keys`, coarser levels marked with `all_label` and a
+    `grouping_level` column (0 = finest, len(keys) = grand total) —
+    DuckDB's GROUPING() sum under coalesce(key, all_label).
+
+    100 TB shape: ONE shuffle at the finest grain (Ray's groupby with
+    partial combine), which collapses the fact table to |distinct key
+    combos| rows; every coarser level is a rollup OF THAT AGGREGATE
+    (numpy groupby on O(C) driver rows), never a re-scan of the input.
+    The driver-rows contract is the cube cardinality, same budget class
+    as exact_quantiles' histogram.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    fine = ds.groupby(keys).aggregate(Count(), Sum(cents_col))
+    tab = pa.concat_tables(
+        pa.table(b) for b in fine.iter_batches(batch_format="pyarrow")
+    )
+    import pandas as pd
+
+    df = tab.to_pandas().rename(
+        columns={"count()": "n_rows", f"sum({cents_col})": "sum_cents"}
+    )
+    df["n_rows"] = df["n_rows"].astype("int64")
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    levels = [df.assign(grouping_level=0)]
+    for lvl in range(1, len(keys) + 1):
+        keep = keys[: len(keys) - lvl]
+        if keep:
+            g = df.groupby(keep, as_index=False)[["n_rows", "sum_cents"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"n_rows": [df.n_rows.sum()], "sum_cents": [df.sum_cents.sum()]}
+            )
+        for k in keys[len(keys) - lvl:]:
+            g[k] = all_label
+        g["grouping_level"] = lvl
+        levels.append(g[keys + ["n_rows", "sum_cents", "grouping_level"]])
+    out = pd.concat(
+        [l[keys + ["n_rows", "sum_cents", "grouping_level"]] for l in levels],
+        ignore_index=True,
+    )
+    out["grouping_level"] = out["grouping_level"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

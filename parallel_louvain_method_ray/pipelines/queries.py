@@ -3958,6 +3958,79 @@ def q_events_hopping(sf_dir: str):
     )
 
 
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (region, nation) order revenue
+    (ops/analytics.py:rollup_aggregate): orders -> customer is the one
+    fact-sized hash join; nation/region names are a 30-row broadcast map
+    applied inside map_batches; ONE finest-grain shuffle, coarser levels
+    rolled up from the O(combos) aggregate. Money rides as exact cents."""
+    from parallel_louvain_method_ray.ops.analytics import rollup_aggregate
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_table(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = read_table(
+        sf_dir, "region", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    # Dense nationkey-indexed lookup arrays (25 nations): one np.take per
+    # batch instead of a Python dict probe per row.
+    max_nk = int(nation.n_nationkey.max())
+    nk_to_nname = np.empty(max_nk + 1, dtype=object)
+    nk_to_rname = np.empty(max_nk + 1, dtype=object)
+    r_name_map = dict(zip(region.r_regionkey, region.r_name))
+    for nk, nn, rk in zip(
+        nation.n_nationkey, nation.n_name, nation.n_regionkey
+    ):
+        nk_to_nname[nk] = nn
+        nk_to_rname[nk] = r_name_map[rk]
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=4,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def name_and_cents(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array(nk_to_rname[nk], type=pa.string()),
+                "n_name": pa.array(nk_to_nname[nk], type=pa.string()),
+                "cents": pa.array(
+                    np.floor(price * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    base = joined.map_batches(name_and_cents, batch_format="pyarrow")
+    return rollup_aggregate(base, ["r_name", "n_name"], "cents")
+
+
+QUERIES["revenue_rollup"] = q_revenue_rollup
+ORACLE_SQL["revenue_rollup"] = """
+    WITH base AS (
+        SELECT r_name, n_name,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT coalesce(r_name, 'ALL') AS r_name,
+           coalesce(n_name, 'ALL') AS n_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(grouping(r_name) + grouping(n_name) AS BIGINT)
+               AS grouping_level
+    FROM base GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 QUERIES["events_hopping"] = q_events_hopping
 ORACLE_SQL["events_hopping"] = """
     WITH hop AS (
