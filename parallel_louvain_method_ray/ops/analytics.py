@@ -574,3 +574,86 @@ def rollup_aggregate(
     )
     out["grouping_level"] = out["grouping_level"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lag_diff(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str = "gap",
+) -> ray.data.Dataset:
+    """Per-key ordered LAG difference (SQL: v - lag(v) OVER (PARTITION BY
+    key ORDER BY v)) for rows that HAVE a predecessor — the
+    inter-arrival-time window shape.
+
+    The value column is its own order column: ordering by the diffed
+    value makes the gap multiset invariant to tie order, so the result
+    is deterministic under any stable/unstable sort (SQL LAG with
+    ORDER BY v has the same property). INTEGER values only, same
+    hash-exactness contract as `running_total`.
+
+    100 TB shape: ONE global range shuffle (`sort(key, value)`), then
+    each block diffs vectorized; block boundaries take the previous
+    block's last (key, value) from an O(blocks) driver carry chain —
+    same argument as `running_total`'s offsets (a key spanning blocks is
+    the last run of one block and the first of the next)."""
+    s = ds.sort([key_col, value_col]).materialize()
+    # empty post-sort blocks carry an EMPTY schema — resolve the key type
+    # here so finalize can build typed empty outputs
+    key_type = s.schema().base_schema.field(key_col).type
+    refs = s.get_internal_block_refs()
+
+    @ray.remote
+    def block_edge(block):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        if t.num_rows == 0:
+            return None
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"lag_diff requires an integer value column, got {v.dtype}"
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        return (k[-1], int(v[-1]))
+
+    edges = ray.get([block_edge.remote(r) for r in refs])
+    carries: list[tuple] = []  # (prev_key, prev_val) per block, or None
+    prev = None
+    for e in edges:
+        carries.append(prev)
+        if e is not None:
+            prev = e
+
+    @ray.remote
+    def finalize(block, carry):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], key_type),
+                    value_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gap = np.empty(len(v), dtype=np.int64)
+        gap[1:] = v[1:] - v[:-1]
+        has_prev = np.ones(len(v), dtype=bool)
+        has_prev[1:] = k[1:] == k[:-1]
+        if carry is not None and carry[0] == k[0]:
+            gap[0] = v[0] - carry[1]
+            has_prev[0] = True
+        else:
+            has_prev[0] = False
+        out = pa.table(
+            {
+                key_col: t.column(key_col),
+                value_col: pa.array(v, pa.int64()),
+                out_col: pa.array(gap, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(has_prev))
+
+    out_refs = [finalize.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)

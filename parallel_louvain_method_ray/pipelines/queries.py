@@ -4052,6 +4052,267 @@ ORACLE_SQL["events_hopping"] = """
 """
 
 
+def q_inter_event_gaps(sf_dir: str):
+    """Per-user inter-arrival times — the LAG window operator
+    (ops/analytics.py:lag_diff): one range shuffle, vectorized per-block
+    diff, O(blocks) driver carry chain. Timestamps ride as integer
+    microseconds so the window arithmetic is hash-exact."""
+    from parallel_louvain_method_ray.ops.analytics import lag_diff
+
+    events = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+            }
+        )
+
+    return lag_diff(
+        events.map_batches(to_us, batch_format="pyarrow"),
+        key_col="user_id",
+        value_col="ts_us",
+        out_col="gap_us",
+    )
+
+
+QUERIES["inter_event_gaps"] = q_inter_event_gaps
+ORACLE_SQL["inter_event_gaps"] = """
+    WITH g AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id, CAST(ts_us AS BIGINT) AS ts_us,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM g WHERE gap_us IS NOT NULL
+"""
+
+
+def q_shipping_revenue_top10(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority query: date-filtered fact-fact
+    hash join (lineitem x orders), per-row revenue in exact cents,
+    groupby-sum, global top-10 by (revenue desc, orderkey asc). Filters
+    are pushed into the parquet read path / first map_batches so only
+    qualifying rows reach the join."""
+    cutoff_us = int(
+        np.datetime64("1997-06-01T00:00:00", "us").astype(np.int64)
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def li_cents(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = ship > cutoff_us
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(
+            price * (1.0 - disc) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    b.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_date_us": od,
+            }
+        ).filter(pc.less(od, cutoff_us))
+
+    li_f = li.map_batches(li_cents, batch_format="pyarrow")
+    ord_f = orders.map_batches(ord_filter, batch_format="pyarrow")
+    joined = li_f.join(
+        ord_f,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Sum
+
+    agg = joined.groupby(["l_orderkey", "o_date_us"]).aggregate(Sum("cents"))
+    top = (
+        agg.rename_columns({"sum(cents)": "revenue_cents"})
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top.select_columns(["l_orderkey", "o_date_us", "revenue_cents"])
+
+
+QUERIES["shipping_revenue_top10"] = q_shipping_revenue_top10
+ORACLE_SQL["shipping_revenue_top10"] = """
+    SELECT l_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+           CAST(sum(CAST(floor(
+               l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5
+           ) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE epoch_us(l_shipdate) > epoch_us(TIMESTAMP '1997-06-01')
+      AND epoch_us(o_orderdate) < epoch_us(TIMESTAMP '1997-06-01')
+    GROUP BY 1, 2
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Corpus-bigram LM scoring (textops/lm.py): train pass (bigram
+    counts, hashed shuffle), score pass (per-doc local combine ->
+    distributed join with the model -> integer groupby). The
+    quality-filter pipeline shape for training data at 100 TB."""
+    from parallel_louvain_method_ray.textops.lm import bigram_model, score_docs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return score_docs(docs, bigram_model(docs))
+
+
+QUERIES["doc_lm_score"] = q_doc_lm_score
+ORACLE_SQL["doc_lm_score"] = """
+    WITH toksed AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM toksed, unnest(range(1, len(toks))) AS r(i)
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(c.c) AS BIGINT) AS lm_score
+    FROM bi b JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+    GROUP BY b.doc_id
+"""
+
+
+_KMEANS_ORACLE_CTES = """
+    emb AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, q AS cq FROM emb WHERE vec_id < 8),
+    dist AS (
+        SELECT e.vec_id, c.cid, e.q,
+               list_sum(list_transform(
+                   range(1, len(e.q) + 1),
+                   i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])
+               )) AS d2
+        FROM emb e CROSS JOIN cent c
+    ),
+    ranked AS (
+        SELECT vec_id, cid, q, d2,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2 ASC, cid ASC
+               ) AS rn
+        FROM dist
+    )"""
+
+
+def _kmeans_inputs(sf_dir: str):
+    from parallel_louvain_method_ray.sim.kmeans import load_centroids
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cids, C = load_centroids(emb, list(range(8)))
+    return emb, cids, C
+
+
+def q_kmeans_assign(sf_dir: str):
+    """One exact Lloyd assignment step (sim/kmeans.py): 8 seed centroids
+    broadcast in the task closure, integer-quantized squared-L2 argmin
+    per batch — data streams, result is bit-exact vs the SQL lambda
+    oracle under any batch split."""
+    from parallel_louvain_method_ray.sim.kmeans import kmeans_assign
+
+    emb, cids, C = _kmeans_inputs(sf_dir)
+    return kmeans_assign(emb, cids, C)
+
+
+QUERIES["kmeans_assign"] = q_kmeans_assign
+ORACLE_SQL["kmeans_assign"] = f"""
+    WITH {_KMEANS_ORACLE_CTES}
+    SELECT vec_id, cid AS centroid_id, CAST(d2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn = 1
+"""
+
+
+def q_kmeans_update(sf_dir: str):
+    """The centroid-update half of the Lloyd iteration, fused into the
+    same streaming pass: per-batch (centroid, dim) integer partial sums,
+    ONE O(K x D) shuffle merges them (sim/kmeans.py:kmeans_update)."""
+    from parallel_louvain_method_ray.sim.kmeans import kmeans_update
+
+    emb, cids, C = _kmeans_inputs(sf_dir)
+    return kmeans_update(emb, cids, C)
+
+
+QUERIES["kmeans_update"] = q_kmeans_update
+ORACLE_SQL["kmeans_update"] = f"""
+    WITH {_KMEANS_ORACLE_CTES},
+    assign AS (SELECT vec_id, cid, q FROM ranked WHERE rn = 1)
+    SELECT cid AS centroid_id,
+           CAST(i.i - 1 AS BIGINT) AS dim,
+           CAST(sum(q[i.i]) AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assign, unnest(range(1, len(q) + 1)) AS i(i)
+    GROUP BY 1, 2
+"""
+
+
+def q_web_scc2(sf_dir: str):
+    """Bounded mutual-reachability SCC labels on the DIRECTED link graph
+    (algos/scc.py): one middle-vertex hash join for 2-hop reach, packed
+    sort-based pair distinct, composite-key join for mutuality. The
+    near-SCC bucketing pass a web-graph pipeline runs before exact SCC."""
+    from parallel_louvain_method_ray.algos.scc import scc2_labels
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+    return scc2_labels(edges, n)
+
+
+QUERIES["web_scc2"] = q_web_scc2
+ORACLE_SQL["web_scc2"] = f"""
+    WITH {_WEB_LNK_CTES},
+    e AS (SELECT DISTINCT i AS u, j AS v FROM lnk WHERE i <> j),
+    two AS (
+        SELECT DISTINCT a.u AS u, b.v AS v
+        FROM e a JOIN e b ON a.v = b.u WHERE b.v <> a.u
+    ),
+    verts2 AS (SELECT doc_id AS u FROM documents),
+    reach AS (
+        SELECT u, u AS v FROM verts2
+        UNION SELECT u, v FROM e
+        UNION SELECT u, v FROM two
+    ),
+    mut AS (
+        SELECT r.u, r.v FROM reach r JOIN reach s ON r.u = s.v AND r.v = s.u
+    )
+    SELECT u AS vid, CAST(min(v) AS BIGINT) AS scc2_label
+    FROM mut GROUP BY u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
