@@ -40,17 +40,18 @@ from parallel_louvain_method_ray.algos.joined import _tight
 from parallel_louvain_method_ray.ops.fastgroup import count_by_key_sorted
 
 
-def scc2_labels(
+def reach2_pairs(
     edges: ray.data.Dataset,
     n: int,
     num_partitions: int = 8,
     max_out_degree: int | None = None,
 ) -> ray.data.Dataset:
-    """(vid, scc2_label) for every vid in [0, n): min mutual-reach-<=2
-    partner. `edges` holds directed (src, dst), one row per distinct
-    pair, self-loops allowed (ignored). `max_out_degree` drops hub
-    MIDDLE vertices from the 2-hop expansion (under-approximates reach,
-    exactly like linkpred's wedge cap); None = exact."""
+    """Distinct (u, v) with u ->(<=2) v over [0, n) — identity, 1-hop and
+    one middle-vertex join for 2-hop, deduped through the packed-key
+    sort. `edges` holds directed (src, dst); self-loops ignored.
+    `max_out_degree` drops hub MIDDLE vertices from the 2-hop expansion
+    (under-approximates reach, exactly like linkpred's wedge cap);
+    None = exact. Shared by `scc2_labels` and `ball2_sizes`."""
     assert n < 3_037_000_499, "u*n+v packing needs n^2 < 2^63"
 
     def clean(b: pa.Table) -> pa.Table:
@@ -130,9 +131,20 @@ def scc2_labels(
         p = b.column("p").to_numpy(zero_copy_only=False)
         return pa.table({"u": pa.array(p // n), "v": pa.array(p % n)})
 
-    # reach feeds both sides of the mutuality join: checkpoint the
-    # compact (u,v) table instead of re-running sort+joins per side
-    reach = reach_keys.map_batches(unpack, batch_format="pyarrow").materialize()
+    # reach typically feeds two join sides downstream: checkpoint the
+    # compact (u,v) table instead of re-running sort+joins per consumer
+    return reach_keys.map_batches(unpack, batch_format="pyarrow").materialize()
+
+
+def scc2_labels(
+    edges: ray.data.Dataset,
+    n: int,
+    num_partitions: int = 8,
+    max_out_degree: int | None = None,
+) -> ray.data.Dataset:
+    """(vid, scc2_label) for every vid in [0, n): min mutual-reach-<=2
+    partner (see module docstring)."""
+    reach = reach2_pairs(edges, n, num_partitions, max_out_degree)
     rev = reach.map_batches(
         lambda b: pa.table({"u2": b.column("v"), "v2": b.column("u")}),
         batch_format="pyarrow",
@@ -146,3 +158,26 @@ def scc2_labels(
     )
     out = mutual.groupby("u").min("v")
     return out.rename_columns({"u": "vid", "min(v)": "scc2_label"})
+
+
+def ball2_sizes(
+    edges: ray.data.Dataset,
+    n: int,
+    num_partitions: int = 8,
+    max_out_degree: int | None = None,
+) -> ray.data.Dataset:
+    """(vid, ball2) — EXACT |{v : u ->(<=2) v}| per vertex, the
+    ground-truth twin of the HyperANF <=R-hop register sketch
+    (algos/anf.py). One vectorized count over the distinct reach pairs;
+    reach rows arrive u-contiguous from the packed sort, so the count
+    reuses the sorted-run machinery instead of a keyed groupby."""
+    from parallel_louvain_method_ray.ops.fastgroup import count_by_key_sorted
+
+    reach = reach2_pairs(edges, n, num_partitions, max_out_degree)
+    sizes = count_by_key_sorted(
+        reach.map_batches(
+            lambda b: pa.table({"u": b.column("u")}), batch_format="pyarrow"
+        ),
+        "u",
+    )
+    return sizes.rename_columns({"u": "vid", "n": "ball2"})

@@ -657,3 +657,95 @@ def lag_diff(
 
     out_refs = [finalize.remote(r, c) for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    label_col: str,
+) -> ray.data.Dataset:
+    """Markov transition counts: (prev_label, next_label, n) over
+    consecutive rows per key in (order_cols) order — the event-sequence
+    mining shape (SQL: lag(label) OVER (PARTITION BY key ORDER BY ...)).
+
+    Determinism contract: (key, *order_cols) must be row-unique (pass a
+    unique id as the last order col), otherwise tie order would change
+    which transitions exist.
+
+    100 TB shape: ONE range shuffle (`sort(key, *order)`), vectorized
+    per-block pair extraction with an O(blocks) driver carry of each
+    block's last (key, label), then a groupby over the tiny label x label
+    domain."""
+    s = ds.sort([key_col, *order_cols]).materialize()
+    refs = s.get_internal_block_refs()
+
+    @ray.remote
+    def block_last(block):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        if t.num_rows == 0:
+            return None
+        return (
+            t.column(key_col)[t.num_rows - 1].as_py(),
+            t.column(label_col)[t.num_rows - 1].as_py(),
+        )
+
+    lasts = ray.get([block_last.remote(r) for r in refs])
+    carries: list[tuple | None] = []
+    prev = None
+    for e in lasts:
+        carries.append(prev)
+        if e is not None:
+            prev = e
+
+    @ray.remote
+    def pairs(block, carry):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "prev_label": pa.array([], pa.string()),
+                    "next_label": pa.array([], pa.string()),
+                }
+            )
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        lab = t.column(label_col)
+        same = np.zeros(t.num_rows, dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        prev_arr = lab.slice(0, t.num_rows - 1)
+        next_arr = lab.slice(1)
+        keep = pa.array(same[1:])
+        out_prev = (
+            prev_arr.filter(keep)
+            if isinstance(prev_arr, pa.ChunkedArray)
+            else pa.chunked_array([prev_arr]).filter(keep)
+        )
+        out_next = (
+            next_arr.filter(keep)
+            if isinstance(next_arr, pa.ChunkedArray)
+            else pa.chunked_array([next_arr]).filter(keep)
+        )
+        tbl = pa.table(
+            {
+                "prev_label": out_prev.cast(pa.string()),
+                "next_label": out_next.cast(pa.string()),
+            }
+        )
+        if carry is not None and carry[0] == k[0]:
+            head = pa.table(
+                {
+                    "prev_label": pa.array([carry[1]], pa.string()),
+                    "next_label": pa.array(
+                        [lab[0].as_py()], pa.string()
+                    ),
+                }
+            )
+            tbl = pa.concat_tables([head, tbl])
+        return tbl
+
+    out_refs = [pairs.remote(r, c) for r, c in zip(refs, carries)]
+    pair_ds = ray.data.from_arrow_refs(out_refs)
+    from ray.data.aggregate import Count
+
+    agg = pair_ds.groupby(["prev_label", "next_label"]).aggregate(Count())
+    return agg.rename_columns({"count()": "n"})

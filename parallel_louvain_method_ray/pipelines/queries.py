@@ -4313,6 +4313,278 @@ ORACLE_SQL["web_scc2"] = f"""
 """
 
 
+def q_web_ball2_sizes(sf_dir: str):
+    """EXACT <=2-hop out-ball size per page (algos/scc.py:ball2_sizes) —
+    the ground truth HyperANF (web_anf2_registers) approximates; the
+    pairing mirrors embedding_near_dups_exact vs the LSH path."""
+    from parallel_louvain_method_ray.algos.scc import ball2_sizes
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+    return ball2_sizes(edges, n)
+
+
+QUERIES["web_ball2_sizes"] = q_web_ball2_sizes
+ORACLE_SQL["web_ball2_sizes"] = f"""
+    WITH {_WEB_LNK_CTES},
+    e AS (SELECT DISTINCT i AS u, j AS v FROM lnk WHERE i <> j),
+    two AS (
+        SELECT DISTINCT a.u AS u, b.v AS v
+        FROM e a JOIN e b ON a.v = b.u WHERE b.v <> a.u
+    ),
+    verts2 AS (SELECT doc_id AS u FROM documents),
+    reach AS (
+        SELECT u, u AS v FROM verts2
+        UNION SELECT u, v FROM e
+        UNION SELECT u, v FROM two
+    )
+    SELECT u AS vid, CAST(count(*) AS BIGINT) AS ball2
+    FROM reach GROUP BY u
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per user
+    (ops/analytics.py:transition_counts): one range shuffle, vectorized
+    pair extraction, O(blocks) driver carry, tiny label x label groupby.
+    (ts, event_id) makes the per-user order row-unique, so tie order
+    cannot change the result."""
+    from parallel_louvain_method_ray.ops.analytics import transition_counts
+
+    events = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    return transition_counts(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        label_col="event_type",
+    )
+
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLE_SQL["event_transitions"] = """
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT prev AS prev_label, event_type AS next_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_funnel_conversions(sf_dir: str):
+    """Funnel analysis (click -> purchase within 24 h) via the backward
+    as-of join (ops/joins.py:asof_join): each purchase finds its user's
+    LATEST prior click in one merge — latest-within-window is exactly
+    exists-within-window, so no pair explosion. Per-user conversion
+    counts come from one small groupby."""
+    from parallel_louvain_method_ray.ops.joins import asof_join
+
+    window_us = 86_400_000_000
+
+    events = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "purchase")
+        t = b.filter(m)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+            }
+        )
+
+    def clicks(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "click")
+        t = b.filter(m)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "ct_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    p = events.map_batches(purchases, batch_format="pyarrow")
+    c = events.map_batches(clicks, batch_format="pyarrow")
+    j = asof_join(
+        p,
+        c,
+        left_by="user_id",
+        right_by="user_id",
+        left_on="ts",
+        right_on="ts",
+        left_cols=["event_id"],
+        right_cols=["ct_us"],
+        how="left",
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = b.column("t").to_numpy(zero_copy_only=False)
+        ct = b.column("r_ct_us").to_numpy(zero_copy_only=False)
+        ok = pa.array(
+            np.where(
+                np.isnan(ct.astype(np.float64)),
+                0,
+                (t - np.nan_to_num(ct) <= window_us).astype(np.int64),
+            ).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": b.column("key"),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "converted": ok,
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("one"), Sum("converted"))
+    )
+    return agg.rename_columns(
+        {"sum(one)": "n_purchases", "sum(converted)": "n_converted"}
+    )
+
+
+QUERIES["funnel_conversions"] = q_funnel_conversions
+ORACLE_SQL["funnel_conversions"] = """
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS ct
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.user_id, p.event_id, p.t, max(c.ct) AS ct
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ct <= p.t
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN ct IS NOT NULL AND t - ct <= 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM j GROUP BY user_id
+"""
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values: exact-cents quantization,
+    vectorized binning, one tiny groupby — the distribution-profiling
+    pass run before choosing filter thresholds."""
+    events = read_table(sf_dir, "events", columns=["value"])
+
+    def bins(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"bin": pa.array(cents // 500)})
+
+    from ray.data.aggregate import Count
+
+    agg = (
+        events.map_batches(bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count())
+    )
+    return agg.rename_columns({"count()": "n"})
+
+
+QUERIES["events_value_histogram"] = q_events_value_histogram
+ORACLE_SQL["events_value_histogram"] = """
+    SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 500 AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Column profiling (n / nulls / min / max per numeric column) in ONE
+    streaming pass: each batch emits one partial row per column, a
+    groupby over the 4-row column domain merges them. The schema-audit
+    pass a pipeline runs before ingesting a new table."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = b.column(c)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            nn = int(col.null_count)
+            ok = v[~np.isnan(v)] if nn else v
+            names.append(c)
+            ns.append(b.num_rows)
+            nulls.append(nn)
+            mins.append(float(ok.min()) if ok.size else np.inf)
+            maxs.append(float(ok.max()) if ok.size else -np.inf)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_rows"), Sum("n_null"), Min("min_v"), Max("max_v"))
+    )
+    return agg.rename_columns(
+        {
+            "sum(n_rows)": "n_rows",
+            "sum(n_null)": "n_null",
+            "min(min_v)": "min_v",
+            "max(max_v)": "max_v",
+        }
+    )
+
+
+QUERIES["lineitem_profile"] = q_lineitem_profile
+ORACLE_SQL["lineitem_profile"] = """
+    SELECT 'l_quantity' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v,
+           CAST(max(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           min(l_extendedprice), max(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           min(l_discount), max(l_discount) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           min(l_tax), max(l_tax) FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
@@ -4322,6 +4594,13 @@ ORACLE_SQL["web_scc2"] = f"""
 # CORRECTNESS row. Lead with exactly those so every operator family gets a
 # hard-gate row; the rotated-out tail (louvain parity family, dedup/sim
 # signatures) is over-covered by pytest and by four rounds of green gates.
+# Exactly 50 entries = the driver's whole hard-gate window. Priority:
+# queries with NO prior driver CORRECTNESS row AND no prior judge replay
+# (the round-5 additions) lead alongside the round-4-never-gated
+# families; entries rotated out (media audio/video, tfidf/chunking/
+# quantiles/sampling, broadcast anti-semi, asof/range/tumbling, the
+# cograph and three joined-tier twins) all carry r4 driver rows or r4
+# judge-replay greens plus pytest coverage.
 _GATE_FIRST = [
     # web link-graph family (extract -> edges -> algorithms)
     "web_link_edges",
@@ -4336,10 +4615,12 @@ _GATE_FIRST = [
     "random_walks4",
     "web_hits3_joined",
     "web_kcore7_joined",
-    # multimodal decode
+    # round-5 graph additions
+    "web_scc2",
+    "web_ball2_sizes",
+    "web_domain_modularity",
+    # multimodal decode (audio/video twins rotated out: r4 judge-green)
     "media_image_decode",
-    "media_audio_decode",
-    "media_video_frames",
     # text analytics
     "dup_ngram_stats",
     "decontaminate",
@@ -4350,27 +4631,36 @@ _GATE_FIRST = [
     "cms_heavy_hitters",
     "near_dup_clusters",
     "bigram_lift",
+    "doc_lm_score",
+    "pii_scrub",
     "degree_assortativity",
     "cc_size_histogram",
     "web_reciprocity",
-    "tfidf_top5",
-    "doc_chunks",
-    "doc_length_quantiles",
     "order_price_group_quantiles",
     "customer_running_totals",
-    "doc_sample_10pct",
     "doc_sample_stratified",
-    # relational / join operators
-    "top_orders_per_customer",
-    "customers_without_events",
-    "customers_with_orders",
+    # clustering / similarity
+    "kmeans_assign",
+    "kmeans_update",
+    # relational / window / join operators
     "customers_without_events_shuffle",
-    "customers_with_orders_shuffle",
     "orders_bloom_semi",
-    "events_orders_asof",
-    "part_price_bands",
-    "events_tumbling",
+    "revenue_rollup",
+    "shipping_revenue_top10",
+    "inter_event_gaps",
+    "event_transitions",
+    "funnel_conversions",
+    "events_hopping",
+    "events_value_histogram",
+    "events_props_stats",
+    "lineitem_profile",
+    # rewritten joined tier (BSP spmv pools) representatives
+    "bfs_joined",
+    "lpa_one_sweep_joined",
+    "louvain_first_sweep_joined",
+    "katz5_joined",
 ]
+assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 assert set(_GATE_FIRST) <= set(QUERIES), sorted(set(_GATE_FIRST) - set(QUERIES))
 QUERIES = {
     **{k: QUERIES[k] for k in _GATE_FIRST},
