@@ -4594,6 +4594,315 @@ ORACLE_SQL["lineitem_profile"] = """
 # CORRECTNESS row. Lead with exactly those so every operator family gets a
 # hard-gate row; the rotated-out tail (louvain parity family, dedup/sim
 # signatures) is over-covered by pytest and by four rounds of green gates.
+def q_web_twopath_centrality(sf_dir: str):
+    """Directed 2-path centrality: n_paths(w) = indeg(w) * outdeg(w)
+    minus round trips u->w->u — the cheap betweenness surrogate (exact
+    count of length-2 paths THROUGH each vertex with distinct endpoints).
+    Three small shuffles over pre-aggregated tables: two degree groupbys
+    and the reciprocal-edge probe; no wedge explosion — the product is
+    arithmetic on degrees, never an enumeration."""
+    from parallel_louvain_method_ray.algos.joined import _tight
+
+    def _noself(b: pa.Table) -> pa.Table:
+        t = pa.table({"src": b.column("src"), "dst": b.column("dst")})
+        return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+
+    edges = q_web_link_edges(sf_dir).map_batches(
+        _noself, batch_format="pyarrow"
+    ).materialize()
+
+    from ray.data.aggregate import Count
+
+    outd = edges.groupby("src").aggregate(Count()).rename_columns(
+        {"src": "vid", "count()": "outdeg"}
+    )
+    ind = edges.groupby("dst").aggregate(Count()).rename_columns(
+        {"dst": "vid", "count()": "indeg"}
+    )
+    # reciprocal edges: (w,u) such that (u,w) also exists -> count per w
+    rev = edges.map_batches(
+        lambda b: pa.table({"src2": b.column("dst"), "dst2": b.column("src")}),
+        batch_format="pyarrow",
+    )
+    recip_edges = _tight(edges, 8).join(
+        _tight(rev, 8),
+        join_type="inner",
+        num_partitions=8,
+        on=("src", "dst"),
+        right_on=("src2", "dst2"),
+    )
+    recip = recip_edges.groupby("src").aggregate(Count()).rename_columns(
+        {"src": "vid", "count()": "recip"}
+    )
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    verts = ray.data.range(n).map_batches(
+        lambda b: pa.table({"vid": b.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    j = _tight(verts, 8).join(
+        _tight(outd, 8), join_type="left_outer", num_partitions=8, on=("vid",)
+    )
+    j = _tight(j, 8).join(
+        _tight(ind, 8), join_type="left_outer", num_partitions=8, on=("vid",)
+    )
+    j = _tight(j, 8).join(
+        _tight(recip, 8), join_type="left_outer", num_partitions=8, on=("vid",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        def col(name):
+            v = b.column(name).to_numpy(zero_copy_only=False)
+            return np.nan_to_num(v.astype(np.float64)).astype(np.int64)
+
+        od, idg, rc = col("outdeg"), col("indeg"), col("recip")
+        return pa.table(
+            {
+                "vid": b.column("vid"),
+                "n_twopaths": pa.array(idg * od - rc),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["web_twopath_centrality"] = q_web_twopath_centrality
+ORACLE_SQL["web_twopath_centrality"] = f"""
+    WITH {_WEB_LNK_CTES},
+    e AS (SELECT DISTINCT i AS u, j AS v FROM lnk WHERE i <> j),
+    od AS (SELECT u AS w, count(*) AS d FROM e GROUP BY u),
+    id_ AS (SELECT v AS w, count(*) AS d FROM e GROUP BY v),
+    rc AS (
+        SELECT a.u AS w, count(*) AS r
+        FROM e a JOIN e b ON a.u = b.v AND a.v = b.u
+        GROUP BY a.u
+    )
+    SELECT d.doc_id AS vid,
+           CAST(coalesce(id_.d, 0) * coalesce(od.d, 0)
+                - coalesce(rc.r, 0) AS BIGINT) AS n_twopaths
+    FROM documents d
+    LEFT JOIN od ON od.w = d.doc_id
+    LEFT JOIN id_ ON id_.w = d.doc_id
+    LEFT JOIN rc ON rc.w = d.doc_id
+"""
+
+
+def q_doc_length_deciles(sf_dir: str):
+    """Global-quantile bucketing: exact decile thresholds from the
+    bounded-histogram quantile pass (O(distinct lengths) shuffle), then a
+    broadcast-threshold vectorized classify — the two-phase shape for
+    percentile-based filtering at 100 TB (thresholds are 9 ints; the
+    corpus streams)."""
+    from parallel_louvain_method_ray.ops.analytics import exact_quantiles
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    qs = [i / 10.0 for i in range(1, 10)]
+    thr = exact_quantiles(docs, "n_chars", qs)
+    thresholds = np.asarray(thr.column("value").to_pylist(), dtype=np.int64)
+
+    def classify(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(thresholds, v, side="left")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(classify, batch_format="pyarrow")
+
+
+QUERIES["doc_length_deciles"] = q_doc_length_deciles
+ORACLE_SQL["doc_length_deciles"] = """
+    WITH t AS (
+        SELECT unnest([
+            quantile_disc(n_chars, 0.1), quantile_disc(n_chars, 0.2),
+            quantile_disc(n_chars, 0.3), quantile_disc(n_chars, 0.4),
+            quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.6),
+            quantile_disc(n_chars, 0.7), quantile_disc(n_chars, 0.8),
+            quantile_disc(n_chars, 0.9)
+        ]) AS v
+        FROM documents
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(coalesce(sum(CASE WHEN d.n_chars > t.v THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS bucket
+    FROM documents d LEFT JOIN t ON true
+    GROUP BY d.doc_id, d.n_chars
+"""
+
+
+def q_source_lang_stats(sf_dir: str):
+    """Corpus mixture report: (source, lang) doc counts + exact char
+    sums — the per-stratum accounting pass that drives sampling-rate
+    choices (doc_sample_stratified consumes exactly these numbers)."""
+    docs = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    from ray.data.aggregate import Count, Sum
+
+    agg = docs.groupby(["source", "lang"]).aggregate(Count(), Sum("n_chars"))
+    return agg.rename_columns(
+        {"count()": "n_docs", "sum(n_chars)": "sum_chars"}
+    )
+
+
+QUERIES["source_lang_stats"] = q_source_lang_stats
+ORACLE_SQL["source_lang_stats"] = """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_user_event_simpson(sf_dir: str):
+    """Per-user Simpson concentration of event types — the diversity
+    score a behavioral pipeline computes per entity. Kept as one exactly
+    rounded division over exact integers (sum c_i(c_i-1)) / (n(n-1)) —
+    no entropy log, same float discipline as bigram lift. Two small
+    groupbys: (user,type) counts, then per-user integer accumulation."""
+    events = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    from ray.data.aggregate import Count, Sum
+
+    per_type = events.groupby(["user_id", "event_type"]).aggregate(Count())
+
+    def accum(b: pa.Table) -> pa.Table:
+        c = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n": pa.array(c),
+                "num": pa.array(c * (c - 1)),
+            }
+        )
+
+    agg = (
+        per_type.map_batches(accum, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n"), Sum("num"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = b.column("sum(num)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = n >= 2
+        simpson = np.round(
+            num[keep].astype(np.float64) / (n[keep] * (n[keep] - 1)), 9
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id").filter(pa.array(keep)),
+                "n_events": pa.array(n[keep]),
+                "simpson": pa.array(simpson),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["user_event_simpson"] = q_user_event_simpson
+ORACLE_SQL["user_event_simpson"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS num
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           round(CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 9)
+               AS simpson
+    FROM u WHERE n >= 2
+"""
+
+
+def q_events_value_outliers(sf_dir: str):
+    """Exact integer 3-sigma outliers per event type: a value x (in
+    cents) is an outlier iff (n*x - S)^2 > 9*(n*SS - S^2) — the z-score
+    test cleared of division, sqrt and float entirely. Group moments
+    (n, S, SS) come from one combiner groupby; the comparison runs
+    driver-side in PYTHON BIGINTS (per-group threshold interval via
+    integer isqrt), broadcast as two int bounds per type, so each row's
+    test is one vectorized compare. The oracle does the same arithmetic
+    in HUGEINT."""
+    import math
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "cents": pa.array(c),
+                "sq": pa.array(c * c),
+            }
+        )
+
+    base = events.map_batches(cents, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count, Sum
+
+    mom = (
+        base.groupby("event_type")
+        .aggregate(Count(), Sum("cents"), Sum("sq"))
+        .take_all()
+    )
+    # per-type outlier bounds in exact bigints: |n*x - S| > isqrt(T),
+    # T = 9*(n*SS - S^2)  ==>  n*x > S + isqrt(T)  or  n*x < S - isqrt(T)
+    bounds = {}
+    for r in mom:
+        n, S, SS = int(r["count()"]), int(r["sum(cents)"]), int(r["sum(sq)"])
+        t9 = 9 * (n * SS - S * S)
+        root = math.isqrt(t9) if t9 >= 0 else 0
+        bounds[r["event_type"]] = (n, S - root, S + root)
+
+    def flag(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_pylist()
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        n = np.fromiter((bounds[t][0] for t in et), np.int64, len(et))
+        lo = np.fromiter((bounds[t][1] for t in et), np.int64, len(et))
+        hi = np.fromiter((bounds[t][2] for t in et), np.int64, len(et))
+        nx = n * c
+        keep = (nx > hi) | (nx < lo)
+        return pa.table(
+            {
+                "event_id": b.column("event_id").filter(pa.array(keep)),
+                "event_type": b.column("event_type").filter(pa.array(keep)),
+                "cents": pa.array(c[keep]),
+            }
+        )
+
+    return base.map_batches(flag, batch_format="pyarrow")
+
+
+QUERIES["events_value_outliers"] = q_events_value_outliers
+ORACLE_SQL["events_value_outliers"] = """
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS s,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents
+    FROM c JOIN m ON c.event_type = m.event_type
+    WHERE (m.n * c.cents - m.s) * (m.n * c.cents - m.s)
+          > 9 * (m.n * m.ss - m.s * m.s)
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND no prior judge replay
 # (the round-5 additions) lead alongside the round-4-never-gated
