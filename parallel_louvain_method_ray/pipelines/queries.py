@@ -4903,6 +4903,251 @@ ORACLE_SQL["events_value_outliers"] = """
 """
 
 
+def q_customer_event_coverage(sf_dir: str):
+    """FULL OUTER join semantics: every customer id and every event user
+    id, with presence flags and the event count — the id-space
+    reconciliation pass run when two systems disagree about entities.
+    Both sides pre-aggregate to distinct keys before the join, so the
+    shuffle carries O(entities), not O(facts)."""
+    from parallel_louvain_method_ray.algos.joined import _tight
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_key": b.column("c_custkey"),
+                "is_cust": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    ev = (
+        read_table(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_events"})
+    )
+    # cust streams straight off parquet (no empty blocks); only the
+    # aggregate side needs the empty-block compaction
+    j = cust.join(
+        _tight(ev, 8),
+        join_type="full_outer",
+        num_partitions=8,
+        on=("c_key",),
+        right_on=("user_id",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the left name:
+        # c_key is never null in the output
+        ic = b.column("is_cust").to_numpy(zero_copy_only=False)
+        ne = b.column("n_events").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity_id": b.column("c_key"),
+                "is_customer": pa.array(
+                    np.nan_to_num(ic.astype(np.float64)).astype(np.int64)
+                ),
+                "n_events": pa.array(
+                    np.nan_to_num(ne.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["customer_event_coverage"] = q_customer_event_coverage
+ORACLE_SQL["customer_event_coverage"] = """
+    WITH c AS (SELECT c_custkey AS k, 1 AS is_cust FROM customer),
+    e AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1)
+    SELECT coalesce(c.k, e.k) AS entity_id,
+           CAST(coalesce(c.is_cust, 0) AS BIGINT) AS is_customer,
+           CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+    FROM c FULL OUTER JOIN e ON c.k = e.k
+"""
+
+
+def q_customer_spend_rank(sf_dir: str):
+    """DENSE_RANK within group + percent-of-total share: customers
+    ranked by exact-cents total spend inside their nation. One
+    fact-to-aggregate groupby, one dimension join, per-nation numpy
+    ranking inside map_groups (nations are small groups by
+    construction); share is one round-9 division over exact integers."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    # sort-based sum (ops/fastgroup.py): the native groupby's per-key
+    # Python combine costs ~8 s at 15k customer keys on this box
+    from parallel_louvain_method_ray.ops.fastgroup import sum_by_key_sorted
+
+    spend = sum_by_key_sorted(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey",
+        ["cents"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "spend_cents": b.column("sum_cents"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    from parallel_louvain_method_ray.algos.joined import _tight
+
+    j = _tight(spend, 8).join(
+        cust,  # parquet-read side: no empty blocks, no compaction needed
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        s = g.column("spend_cents").to_numpy(zero_copy_only=False)
+        total = int(s.sum())
+        # dense rank by spend desc: rank = 1 + #distinct spends above
+        uniq = np.unique(s)  # ascending
+        rnk = (len(uniq) - np.searchsorted(uniq, s)).astype(np.int64)
+        share = np.round(s.astype(np.float64) / np.float64(total), 9)
+        return pa.table(
+            {
+                "c_custkey": g.column("o_custkey"),
+                "c_nationkey": g.column("c_nationkey"),
+                "spend_cents": pa.array(s),
+                "spend_rank": pa.array(rnk),
+                "nation_share": pa.array(share),
+            }
+        )
+
+    return j.groupby("c_nationkey").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
+QUERIES["customer_spend_rank"] = q_customer_spend_rank
+ORACLE_SQL["customer_spend_rank"] = """
+    WITH s AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT s.o_custkey AS c_custkey, c.c_nationkey, s.spend_cents
+        FROM s JOIN customer c ON s.o_custkey = c.c_custkey
+    )
+    SELECT c_custkey, c_nationkey, spend_cents,
+           CAST(dense_rank() OVER (
+               PARTITION BY c_nationkey ORDER BY spend_cents DESC
+           ) AS BIGINT) AS spend_rank,
+           round(CAST(spend_cents AS DOUBLE)
+                 / CAST(sum(spend_cents) OVER (PARTITION BY c_nationkey)
+                        AS DOUBLE), 9) AS nation_share
+    FROM j
+"""
+
+
+def q_orders_monthly_momentum(sf_dir: str):
+    """Calendar time series with month-over-month delta: orders bucketed
+    to (year*12 + month), counts + exact-cents revenue per month, delta
+    vs the previous calendar month via the LAG operator — the growth
+    dashboard every pipeline ends in. Buckets are calendar months (not
+    fixed-width windows): numpy datetime64[M] and SQL year()/month()
+    agree by construction."""
+    from parallel_louvain_method_ray.ops.analytics import lag_diff
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        months = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+            + 1970 * 12
+        )
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ym": pa.array(months),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    monthly = (
+        orders.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("one"), Sum("cents"))
+        .rename_columns({"sum(one)": "n_orders", "sum(cents)": "rev_cents"})
+    )
+    # month-over-month delta: LAG over the single global series. The
+    # series is O(months) rows — lag_diff's sort is trivial here; the
+    # same operator scales to per-key series unchanged.
+    gaps = lag_diff(
+        monthly.map_batches(
+            lambda b: pa.table(
+                {"g": pa.array(np.zeros(b.num_rows, np.int64)),
+                 "ym": b.column("ym")}
+            ),
+            batch_format="pyarrow",
+        ),
+        key_col="g",
+        value_col="ym",
+        out_col="gap",
+    )
+    # join the monthly table with its deltas driver-side: both are
+    # O(months) rows (calendar-bounded), a driver pandas merge is the
+    # documented small-side tier
+    m = monthly.to_pandas().sort_values("ym", ignore_index=True)
+    m["rev_delta_cents"] = m["rev_cents"].diff()
+    m = m[m["rev_delta_cents"].notna()].copy()
+    m["rev_delta_cents"] = m["rev_delta_cents"].astype("int64")
+    # keep only consecutive months (gap == 1), mirroring the SQL's
+    # prev-month join; gaps Dataset marks which ym rows have a
+    # predecessor ONE month earlier
+    gp = gaps.to_pandas()
+    ok = set(gp.loc[gp["gap"] == 1, "ym"].tolist())
+    m = m[m["ym"].isin(ok)]
+    return pa.Table.from_pandas(
+        m[["ym", "n_orders", "rev_cents", "rev_delta_cents"]],
+        preserve_index=False,
+    )
+
+
+QUERIES["orders_monthly_momentum"] = q_orders_monthly_momentum
+ORACLE_SQL["orders_monthly_momentum"] = """
+    WITH m AS (
+        SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT a.ym, a.n_orders, a.rev_cents,
+           CAST(a.rev_cents - b.rev_cents AS BIGINT) AS rev_delta_cents
+    FROM m a JOIN m b ON a.ym = b.ym + 1
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND no prior judge replay
 # (the round-5 additions) lead alongside the round-4-never-gated
