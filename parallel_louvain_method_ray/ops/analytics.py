@@ -749,3 +749,70 @@ def transition_counts(
 
     agg = pair_ds.groupby(["prev_label", "next_label"]).aggregate(Count())
     return agg.rename_columns({"count()": "n"})
+
+
+def pareto_frontier_2d(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> pa.Table:
+    """2-D Pareto frontier (maximize both): rows not dominated by any
+    other row (x2 >= x1 and y2 >= y1 with at least one strict). Rows
+    tied on BOTH coordinates with a frontier point are themselves on the
+    frontier (SQL NOT EXISTS semantics).
+
+    Distribution shape: the local frontier is CLOSED UNDER UNION — a
+    point dominated globally is dominated by some point in its own
+    block's frontier or another block's, so per-block vectorized pruning
+    (sort by x desc, keep running-max y) cuts each block to its frontier
+    before ONE small driver-side merge of the O(frontier) candidates.
+    Integer columns recommended (exact compares); the driver never sees
+    more than sum-of-block-frontiers rows."""
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_col, x_col, y_col])
+        t = batch.select([id_col, x_col, y_col])
+        order = pc.sort_indices(
+            t, sort_keys=[(x_col, "descending"), (y_col, "descending")]
+        )
+        t = t.take(order)
+        x = t.column(x_col).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False)
+        # scan in x-desc order: a point survives iff its y is >= the max
+        # y seen at any STRICTLY larger x, and among equal (x, y) all
+        # survive; dominated iff (exists larger x with >= y) or (equal x
+        # with > y) — with x desc, y desc: keep while y > best_y_so_far
+        # among strictly-greater x, or exact (x,y) tie with a kept row
+        keep = np.zeros(len(x), dtype=bool)
+        best_y = None
+        i = 0
+        while i < len(x):
+            j = i
+            while j < len(x) and x[j] == x[i]:
+                j += 1
+            # rows i..j-1 share x, sorted y desc; the frontier among them
+            # is every row tied with the max y of this x-run, provided it
+            # beats best_y (max y over strictly larger x)
+            ymax = y[i]
+            if best_y is None or ymax > best_y:
+                k = i
+                while k < j and y[k] == ymax:
+                    keep[k] = True
+                    k += 1
+                best_y = ymax if best_y is None else max(best_y, ymax)
+            i = j
+        return t.filter(pa.array(keep))
+
+    pruned = ds.map_batches(local_frontier, batch_format="pyarrow")
+    cand = pa.concat_tables(
+        pa.table(b) for b in pruned.iter_batches(batch_format="pyarrow")
+    )
+    if cand.num_rows == 0:
+        return cand
+    final = local_frontier(cand)
+    order = pc.sort_indices(
+        final, sort_keys=[(id_col, "ascending")]
+    )
+    return final.take(order)

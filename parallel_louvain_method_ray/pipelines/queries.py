@@ -5098,6 +5098,7 @@ def q_orders_monthly_momentum(sf_dir: str):
         .groupby("ym")
         .aggregate(Sum("one"), Sum("cents"))
         .rename_columns({"sum(one)": "n_orders", "sum(cents)": "rev_cents"})
+        .materialize()  # feeds both the gaps pass and the driver merge
     )
     # month-over-month delta: LAG over the single global series. The
     # series is O(months) rows — lag_diff's sort is trivial here; the
@@ -5145,6 +5146,128 @@ ORACLE_SQL["orders_monthly_momentum"] = """
     SELECT a.ym, a.n_orders, a.rev_cents,
            CAST(a.rev_cents - b.rev_cents AS BIGINT) AS rev_delta_cents
     FROM m a JOIN m b ON a.ym = b.ym + 1
+"""
+
+
+def q_orders_pareto(sf_dir: str):
+    """2-D Pareto frontier (ops/analytics.py:pareto_frontier_2d): orders
+    maximizing (price, recency) that no other order dominates. Per-block
+    vectorized pruning cuts every block to its local frontier — closed
+    under union — before one O(frontier) driver merge; the skyline
+    operator for multi-objective data selection."""
+    from parallel_louvain_method_ray.ops.analytics import pareto_frontier_2d
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        d = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                "day": pa.array(d // 86_400_000_000),
+            }
+        )
+
+    return pareto_frontier_2d(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        x_col="cents",
+        y_col="day",
+        id_col="o_orderkey",
+    )
+
+
+QUERIES["orders_pareto"] = q_orders_pareto
+ORACLE_SQL["orders_pareto"] = """
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders
+    )
+    SELECT o_orderkey, cents, CAST(day AS BIGINT) AS day
+    FROM t t1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t t2
+        WHERE t2.cents >= t1.cents AND t2.day >= t1.day
+          AND (t2.cents > t1.cents OR t2.day > t1.day)
+    )
+    ORDER BY o_orderkey
+"""
+
+
+def q_orders_upsert_latest(sf_dir: str):
+    """Keyed latest-wins upsert (CDC / SCD merge): a deterministic
+    'delta' slice (orderkey % 10 == 0, price doubled, version 2)
+    overrides the base (version 1) per key. Union + group-wise top-1 by
+    version — the merge runs as the existing topk_per_group operator
+    (local per-batch prune bounds the shuffle to one row per key per
+    block), no driver state."""
+    from parallel_louvain_method_ray.ops.analytics import topk_per_group
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def base(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                "version": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    def delta(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = k % 10 == 0
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)[keep]
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64) * 2
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep]),
+                "cents": pa.array(c),
+                "version": pa.array(np.full(int(keep.sum()), 2, np.int64)),
+            }
+        )
+
+    merged = orders.map_batches(base, batch_format="pyarrow").union(
+        orders.map_batches(delta, batch_format="pyarrow")
+    )
+    out = topk_per_group(
+        merged, key_col="o_orderkey", score_col="version", k=1,
+        tie_col="cents",
+    )
+    return out.select_columns(["o_orderkey", "cents", "version"])
+
+
+QUERIES["orders_upsert_latest"] = q_orders_upsert_latest
+ORACLE_SQL["orders_upsert_latest"] = """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(1 AS BIGINT) AS version
+        FROM orders
+    ),
+    delta AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 2
+                   AS cents,
+               CAST(2 AS BIGINT) AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC, cents ASC
+        ) AS rn
+        FROM u
+    )
+    SELECT o_orderkey, cents, version FROM r WHERE rn = 1
 """
 
 

@@ -44,10 +44,13 @@ def load_centroids(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(cids, C): the K seed rows, quantized. K is tiny — the filter
     collects K rows, never the table."""
-    want = set(centroid_vec_ids)
-    rows = embeddings.filter(
-        lambda r: r["vec_id"] in want
-    ).take_all()
+    want = np.asarray(sorted(centroid_vec_ids), dtype=np.int64)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(ids, want)))
+
+    rows = embeddings.map_batches(pick, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r["vec_id"])
     cids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     C = quantize_matrix(np.array([r["embedding"] for r in rows]))
