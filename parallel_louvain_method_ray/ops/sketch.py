@@ -152,3 +152,50 @@ def hll_distinct_tokens(docs: ray.data.Dataset) -> pa.Table:
             ),
         }
     )
+
+
+def hll_group_rhos(
+    ds: ray.data.Dataset, group_col: str, key_col: str
+) -> ray.data.Dataset:
+    """(group, bucket, rho): per-GROUP HLL registers over the string form
+    of `key_col` — the approximate-distinct-per-key operator (distinct
+    users per event type, distinct tokens per language, ...). Same merge
+    shape as the global sketch: each batch contributes at most
+    |groups-in-batch| x 2^b rows, groupby(group, bucket).max merges.
+    Hash = md5_number_lower(CAST(key AS VARCHAR)), mirrored in SQL."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        regs: dict = {}
+        for g, k in zip(groups, keys):
+            h = np.uint64(md5_lower64(str(k)))
+            bucket = int(h >> np.uint64(SUFFIX_BITS))
+            suffix = np.uint64(h & _SUFFIX_MASK)
+            rho = (SUFFIX_BITS + 1) - int(suffix).bit_length()
+            cur = regs.get((g, bucket), 0)
+            if rho > cur:
+                regs[(g, bucket)] = rho
+        if not regs:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch.schema.field(group_col).type),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        gs, bs = zip(*regs.keys())
+        return pa.table(
+            {
+                group_col: pa.array(list(gs)),
+                "bucket": pa.array(list(bs), pa.int64()),
+                "rho": pa.array(list(regs.values()), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .max("rho")
+    )
+    return merged.rename_columns({"max(rho)": "rho"})

@@ -5271,6 +5271,98 @@ ORACLE_SQL["orders_upsert_latest"] = """
 """
 
 
+def q_hll_users_per_type(sf_dir: str):
+    """Per-GROUP HyperLogLog registers (ops/sketch.py:hll_group_rhos):
+    approximate distinct users per event type — the grouped sibling of
+    the global sketch, register-exact vs the SQL rebuild. Exchange
+    volume is O(batches x groups x 2^b) regardless of row count."""
+    from parallel_louvain_method_ray.ops.sketch import hll_group_rhos
+
+    events = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_group_rhos(events, "event_type", "user_id")
+
+
+QUERIES["hll_users_per_type"] = q_hll_users_per_type
+ORACLE_SQL["hll_users_per_type"] = f"""
+    WITH hv AS (
+        SELECT event_type,
+               md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    br AS (
+        SELECT event_type,
+               CAST(h >> {64 - _HLL_B} AS BIGINT) AS bucket,
+               h & CAST({(1 << (64 - _HLL_B)) - 1} AS UBIGINT) AS suffix
+        FROM hv
+    )
+    SELECT event_type, bucket,
+           CAST(max({64 - _HLL_B + 1}
+                    - {_bitlen_ladder_sql("suffix", 64 - _HLL_B)})
+                AS BIGINT) AS rho
+    FROM br GROUP BY 1, 2
+"""
+
+
+def q_embedding_label_centroids(sf_dir: str):
+    """Per-label centroid partials over the embeddings table's OWN label
+    column — the supervised sibling of kmeans_update: same quantized
+    integer (label, dim, sum, n) combiner pass, one K x D shuffle."""
+    from parallel_louvain_method_ray.sim.kmeans import quantize_matrix
+    from parallel_louvain_method_ray.sim.search import _batch_matrix
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        Q = quantize_matrix(_batch_matrix(b))
+        labels = b.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        D = Q.shape[1] if Q.size else 0
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            s = Q[sel].sum(axis=0)
+            nk = int(sel.sum())
+            out_l.extend([int(lab)] * D)
+            out_d.extend(range(D))
+            out_s.extend(s.tolist())
+            out_n.extend([nk] * D)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "sum_q": pa.array(out_s, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_q"), Sum("n"))
+    )
+    return agg.rename_columns({"sum(sum_q)": "sum_q", "sum(n)": "n"})
+
+
+QUERIES["embedding_label_centroids"] = q_embedding_label_centroids
+ORACLE_SQL["embedding_label_centroids"] = """
+    WITH emb AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM embeddings
+    )
+    SELECT label, CAST(i.i - 1 AS BIGINT) AS dim,
+           CAST(sum(q[i.i]) AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM emb, unnest(range(1, len(q) + 1)) AS i(i)
+    GROUP BY 1, 2
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND no prior judge replay
 # (the round-5 additions) lead alongside the round-4-never-gated
