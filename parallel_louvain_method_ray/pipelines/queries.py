@@ -5363,6 +5363,59 @@ ORACLE_SQL["embedding_label_centroids"] = """
 """
 
 
+def q_doc_shard_packing(sf_dir: str):
+    """Deterministic sequence packing: assign docs (in doc_id order) to
+    fixed-budget training shards — shard_id = (running chars BEFORE this
+    doc) // budget, the streaming packing rule LLM data loaders use.
+    Rides the running_total operator (one range shuffle + O(blocks)
+    carry chain); the assignment is pure arithmetic on the prefix sum,
+    so it is reproducible at any parallelism and resumable per shard."""
+    from parallel_louvain_method_ray.ops.analytics import running_total
+
+    budget = 100_000
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(b.num_rows, np.int64)),
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+            }
+        )
+
+    rt = running_total(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        key_col="g",
+        order_cols=["doc_id"],
+        value_col="n_chars",
+        out_col="cum",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "shard_id": pa.array(((cum - n) // budget).astype(np.int64)),
+            }
+        )
+
+    return rt.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["doc_shard_packing"] = q_doc_shard_packing
+ORACLE_SQL["doc_shard_packing"] = """
+    SELECT doc_id, n_chars,
+           CAST((sum(n_chars) OVER (
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                 ) - n_chars) // 100000 AS BIGINT) AS shard_id
+    FROM documents
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND no prior judge replay
 # (the round-5 additions) lead alongside the round-4-never-gated
