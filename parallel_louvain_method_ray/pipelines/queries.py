@@ -5416,6 +5416,306 @@ ORACLE_SQL["doc_shard_packing"] = """
 """
 
 
+def q_event_type_overlap(sf_dir: str):
+    """Audience overlap: exact Jaccard between the USER SETS of every
+    event-type pair — (user, type) distinct -> self-join on user ->
+    pair intersection counts -> one small join against per-type
+    cardinalities; the overlap matrix a mixing dashboard shows. Jaccard
+    is one round-9 division over exact integers."""
+    from parallel_louvain_method_ray.algos.joined import _tight
+    from ray.data.aggregate import Count
+
+    events = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    distinct = (
+        events.groupby(["user_id", "event_type"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    sizes = {
+        r["event_type"]: r["count()"]
+        for r in distinct.groupby("event_type").aggregate(Count()).take_all()
+    }
+    pairs = _tight(distinct, 8).join(
+        _tight(
+            distinct.rename_columns(
+                {"user_id": "u2", "event_type": "type_b"}
+            ),
+            8,
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id",),
+        right_on=("u2",),
+    )
+
+    def keep_ordered(b: pa.Table) -> pa.Table:
+        a = b.column("event_type")
+        c = b.column("type_b")
+        keep = pc.less(a, c)
+        t = b.filter(keep)
+        return pa.table(
+            {"type_a": t.column("event_type"), "type_b": t.column("type_b")}
+        )
+
+    inter = (
+        pairs.map_batches(keep_ordered, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_common"})
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ta = b.column("type_a").to_pylist()
+        tb = b.column("type_b").to_pylist()
+        nc = b.column("n_common").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        na = np.fromiter((sizes[t] for t in ta), np.int64, len(ta))
+        nb = np.fromiter((sizes[t] for t in tb), np.int64, len(tb))
+        union = na + nb - nc
+        jac = np.round(nc.astype(np.float64) / union.astype(np.float64), 9)
+        return pa.table(
+            {
+                "type_a": b.column("type_a"),
+                "type_b": b.column("type_b"),
+                "n_common": pa.array(nc),
+                "jaccard": pa.array(jac),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["event_type_overlap"] = q_event_type_overlap
+ORACLE_SQL["event_type_overlap"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    s AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    c AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_common
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT c.type_a, c.type_b, CAST(c.n_common AS BIGINT) AS n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 9) AS jaccard
+    FROM c
+    JOIN s sa ON sa.event_type = c.type_a
+    JOIN s sb ON sb.event_type = c.type_b
+"""
+
+
+def q_repeat_orders_7d(sf_dir: str):
+    """Banded interval SELF-join: per order, how many OTHER orders the
+    same customer placed within +-7 days — repeat-purchase detection.
+    The range predicate becomes an EQUI-join via band buckets of width 8
+    (two days within 7 of each other sit in the same or adjacent
+    bucket): the probe side explodes to its 3 admissible (custkey,
+    bucket) keys, ONE hash join, then the exact |day diff| <= 7 residual
+    filter runs vectorized post-join. The standard bounded-range
+    temporal-join shape at shuffle scale."""
+    from parallel_louvain_method_ray.algos.joined import _tight
+    from ray.data.aggregate import Sum
+
+    DAY = 86_400_000_000
+    B = 8
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def days(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // DAY
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "u": b.column("o_custkey"),
+                "day": pa.array(d),
+            }
+        )
+
+    base = orders.map_batches(days, batch_format="pyarrow").materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table(
+            {
+                "k": pa.array(np.repeat(k, 3)),
+                "u": pa.array(np.repeat(u, 3)),
+                "day": pa.array(np.repeat(d, 3)),
+                "bucket": pa.array(
+                    (np.repeat(d // B, 3) + np.tile([-1, 0, 1], n)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k2": b.column("k"),
+                "u2": b.column("u"),
+                "day2": pa.array(d),
+                "bucket2": pa.array((d // B).astype(np.int64)),
+            }
+        )
+
+    left = base.map_batches(explode, batch_format="pyarrow")
+    right = base.map_batches(keyed, batch_format="pyarrow")
+    j = _tight(left, 8).join(
+        _tight(right, 8),
+        join_type="inner",
+        num_partitions=8,
+        on=("u", "bucket"),
+        right_on=("u2", "bucket2"),
+    )
+
+    def residual(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        k2 = b.column("k2").to_numpy(zero_copy_only=False)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        d2 = b.column("day2").to_numpy(zero_copy_only=False)
+        keep = (k != k2) & (np.abs(d - d2) <= 7)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+
+    agg = (
+        j.map_batches(residual, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("one"))
+        .rename_columns({"sum(one)": "n_repeat_orders"})
+    )
+    return agg
+
+
+QUERIES["repeat_orders_7d"] = q_repeat_orders_7d
+ORACLE_SQL["repeat_orders_7d"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders
+    )
+    SELECT a.o_orderkey, CAST(count(*) AS BIGINT) AS n_repeat_orders
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey <> b.o_orderkey
+     AND b.day BETWEEN a.day - 7 AND a.day + 7
+    GROUP BY a.o_orderkey
+"""
+
+
+def q_distinct_users_per_type_exact(sf_dir: str):
+    """EXACT distinct users per event type — the ground truth
+    `hll_users_per_type` approximates (the exact/approx pairing the
+    embedding near-dup and ANF families already follow). One (user,
+    type) distinct aggregate, then a 5-row count."""
+    from ray.data.aggregate import Count
+
+    events = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    distinct = (
+        events.groupby(["user_id", "event_type"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+    return (
+        distinct.groupby("event_type")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_users"})
+    )
+
+
+QUERIES["distinct_users_per_type_exact"] = q_distinct_users_per_type_exact
+ORACLE_SQL["distinct_users_per_type_exact"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+"""
+
+
+def q_web_harmonic2(sf_dir: str):
+    """Bounded harmonic centrality, integer-exact: 2*H2(u) = 2*|N1(u)| +
+    |exactly-2-hop(u)| (1/d contributions at d=1,2 scaled by 2) —
+    composed from the distinct out-degree and the exact 2-hop ball size
+    already computed by `algos/scc.py:ball2_sizes`; no division ever."""
+    from parallel_louvain_method_ray.algos.joined import _tight
+    from parallel_louvain_method_ray.algos.scc import ball2_sizes
+    from ray.data.aggregate import Count
+
+    n = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = q_web_link_edges(sf_dir)
+
+    def noself(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("src"), b.column("dst")))
+        t = b.filter(keep)
+        return pa.table({"src": t.column("src"), "dst": t.column("dst")})
+
+    e = edges.map_batches(noself, batch_format="pyarrow").materialize()
+    outd = (
+        e.groupby("src").aggregate(Count())
+        .rename_columns({"src": "vid", "count()": "outdeg"})
+    )
+    balls = ball2_sizes(e, n)
+    j = _tight(balls, 8).join(
+        _tight(outd, 8),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("vid",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ball = b.column("ball2").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        od = np.nan_to_num(
+            b.column("outdeg").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        ).astype(np.int64)
+        # ball2 counts {u} + N1 + exactly-2; exactly-2 = ball2 - 1 - |N1|
+        h2x2 = 2 * od + (ball - 1 - od)
+        return pa.table(
+            {"vid": b.column("vid"), "harmonic2_x2": pa.array(h2x2)}
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["web_harmonic2"] = q_web_harmonic2
+ORACLE_SQL["web_harmonic2"] = f"""
+    WITH {_WEB_LNK_CTES},
+    e AS (SELECT DISTINCT i AS u, j AS v FROM lnk WHERE i <> j),
+    two AS (
+        SELECT DISTINCT a.u AS u, b.v AS v
+        FROM e a JOIN e b ON a.v = b.u WHERE b.v <> a.u
+    ),
+    verts2 AS (SELECT doc_id AS u FROM documents),
+    reach AS (
+        SELECT u, u AS v FROM verts2
+        UNION SELECT u, v FROM e
+        UNION SELECT u, v FROM two
+    ),
+    ball AS (SELECT u, count(*) AS b2 FROM reach GROUP BY u),
+    od AS (SELECT u, count(*) AS d FROM e GROUP BY u)
+    SELECT ball.u AS vid,
+           CAST(2 * coalesce(od.d, 0)
+                + (ball.b2 - 1 - coalesce(od.d, 0)) AS BIGINT)
+               AS harmonic2_x2
+    FROM ball LEFT JOIN od ON od.u = ball.u
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND no prior judge replay
 # (the round-5 additions) lead alongside the round-4-never-gated
