@@ -5716,6 +5716,132 @@ ORACLE_SQL["web_harmonic2"] = f"""
 """
 
 
+def q_daily_active_users(sf_dir: str):
+    """DAU: exact distinct users per calendar day — one (day, user)
+    distinct aggregate then a per-day count; the engagement series every
+    event pipeline reports."""
+    from ray.data.aggregate import Count
+
+    DAY = 86_400_000_000
+    events = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"day": pa.array(d // DAY), "user_id": b.column("user_id")}
+        )
+
+    distinct = (
+        events.map_batches(days, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+    return (
+        distinct.groupby("day")
+        .aggregate(Count())
+        .rename_columns({"count()": "dau"})
+    )
+
+
+QUERIES["daily_active_users"] = q_daily_active_users
+ORACLE_SQL["daily_active_users"] = """
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+"""
+
+
+def q_events_value_mad(sf_dir: str):
+    """Per-group MEDIAN ABSOLUTE DEVIATION in exact cents — the robust
+    dispersion statistic (outlier-insensitive sibling of the 3-sigma
+    query). Two picked-value median passes (group_quantiles), the
+    5-entry median map broadcast between them; every value is an
+    integer, so both medians hash-compare bit-for-bit."""
+    from parallel_louvain_method_ray.ops.analytics import group_quantiles
+
+    events = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64).astype(
+                        np.float64
+                    )
+                ),
+            }
+        )
+
+    base = events.map_batches(cents, batch_format="pyarrow").materialize()
+    med = {
+        r["event_type"]: int(r["value"])
+        for r in group_quantiles(base, "event_type", "cents", [0.5]).take_all()
+    }
+
+    def absdev(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_pylist()
+        c = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.fromiter((med[t] for t in et), np.int64, len(et))
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "dev": pa.array(np.abs(c - m).astype(np.float64)),
+            }
+        )
+
+    mad = group_quantiles(
+        base.map_batches(absdev, batch_format="pyarrow"),
+        "event_type",
+        "dev",
+        [0.5],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "median_cents": pa.array(
+                    np.fromiter(
+                        (med[t] for t in b.column("event_type").to_pylist()),
+                        np.int64,
+                        b.num_rows,
+                    )
+                ),
+                "mad_cents": pa.array(
+                    b.column("value")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return mad.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_value_mad"] = q_events_value_mad
+ORACLE_SQL["events_value_mad"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS m
+        FROM c GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(any_value(med.m) AS BIGINT) AS median_cents,
+           CAST(quantile_disc(abs(c.cents - med.m), 0.5) AS BIGINT)
+               AS mad_cents
+    FROM c JOIN med ON c.event_type = med.event_type
+    GROUP BY c.event_type
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND the fewest replays
 # lead — the round-5 wave-3..10 additions alongside the
