@@ -5842,6 +5842,148 @@ ORACLE_SQL["events_value_mad"] = """
 """
 
 
+def q_web_domain_conductance(sf_dir: str):
+    """Per-domain conductance of the URL-domain partition: cut(d) /
+    min(vol(d), vol_total - vol(d)) over the directed link multiset —
+    the partition-quality metric next to web_domain_modularity. All
+    counts ride the ALREADY-aggregated 50x50 domain matrix
+    (domain_link_graph's ONE shuffle); the finish is O(domains) driver
+    arithmetic with a single round-9 division."""
+    dom = q_domain_link_graph(sf_dir)
+    import pandas as pd
+
+    m = dom.to_pandas() if not isinstance(dom, pa.Table) else dom.to_pandas()
+    vol = {}
+    cut = {}
+    total = int(m["weight"].sum())
+    for _, r in m.iterrows():
+        s, d, w = int(r["src_dom"]), int(r["dst_dom"]), int(r["weight"])
+        vol[s] = vol.get(s, 0) + w
+        vol[d] = vol.get(d, 0) + w
+        if s != d:
+            cut[s] = cut.get(s, 0) + w
+            cut[d] = cut.get(d, 0) + w
+    doms = sorted(vol)
+    vol_total = 2 * total  # each link contributes to two endpoint volumes
+    out_d, out_c, out_v, out_phi = [], [], [], []
+    for d in doms:
+        v = vol[d]
+        c = cut.get(d, 0)
+        denom = min(v, vol_total - v)
+        out_d.append(d)
+        out_c.append(c)
+        out_v.append(v)
+        out_phi.append(round(c / denom, 9) if denom > 0 else 0.0)
+    return pa.table(
+        {
+            "domain": pa.array(out_d, pa.int64()),
+            "cut": pa.array(out_c, pa.int64()),
+            "volume": pa.array(out_v, pa.int64()),
+            "conductance": pa.array(out_phi, pa.float64()),
+        }
+    )
+
+
+QUERIES["web_domain_conductance"] = q_web_domain_conductance
+ORACLE_SQL["web_domain_conductance"] = f"""
+    WITH {_WEB_LNK_CTES},
+    lab AS (
+        SELECT least(i // c.ppd, 49) AS sd, least(j // c.ppd, 49) AS dd
+        FROM lnk, const c
+    ),
+    vol AS (
+        SELECT d, sum(w) AS v FROM (
+            SELECT sd AS d, count(*) AS w FROM lab GROUP BY sd
+            UNION ALL
+            SELECT dd AS d, count(*) AS w FROM lab GROUP BY dd
+        ) GROUP BY d
+    ),
+    cut AS (
+        SELECT d, sum(w) AS c FROM (
+            SELECT sd AS d, count(*) AS w FROM lab WHERE sd <> dd GROUP BY sd
+            UNION ALL
+            SELECT dd AS d, count(*) AS w FROM lab WHERE sd <> dd GROUP BY dd
+        ) GROUP BY d
+    ),
+    tot AS (SELECT 2 * count(*) AS vt FROM lab)
+    SELECT vol.d AS domain,
+           CAST(coalesce(cut.c, 0) AS BIGINT) AS cut,
+           CAST(vol.v AS BIGINT) AS volume,
+           CASE WHEN least(vol.v, tot.vt - vol.v) > 0
+                THEN round(CAST(coalesce(cut.c, 0) AS DOUBLE)
+                           / CAST(least(vol.v, tot.vt - vol.v) AS DOUBLE), 9)
+                ELSE 0.0 END AS conductance
+    FROM vol LEFT JOIN cut ON cut.d = vol.d CROSS JOIN tot
+"""
+
+
+def q_orders_priority_pivot(sf_dir: str):
+    """Pivot / crosstab: order counts by calendar month x priority,
+    priorities widened into columns — ONE groupby over the (month,
+    priority) grain, then an O(months x 5) driver pivot; the wide-report
+    operator (SQL: count(*) FILTER (WHERE ...))."""
+    from ray.data.aggregate import Count
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ym = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+            + 1970 * 12
+        )
+        return pa.table(
+            {"ym": pa.array(ym), "prio": b.column("o_orderpriority")}
+        )
+
+    agg = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby(["ym", "prio"])
+        .aggregate(Count())
+        .to_pandas()
+    )
+    prios = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_unspecified",
+        "5-LOW": "n_low",
+    }
+    pivot = agg.pivot_table(
+        index="ym", columns="prio", values="count()", aggfunc="sum",
+        fill_value=0,
+    )
+    pivot = pivot.reindex(columns=list(prios), fill_value=0).rename(
+        columns=prios
+    )
+    pivot = pivot.reset_index()
+    for c in prios.values():
+        pivot[c] = pivot[c].astype("int64")
+    pivot["ym"] = pivot["ym"].astype("int64")
+    return pa.Table.from_pandas(pivot, preserve_index=False)
+
+
+QUERIES["orders_priority_pivot"] = q_orders_priority_pivot
+ORACLE_SQL["orders_priority_pivot"] = """
+    SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS ym,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS n_urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH')
+                AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+                AS BIGINT) AS n_medium,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                AS BIGINT) AS n_unspecified,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                AS BIGINT) AS n_low
+    FROM orders GROUP BY 1
+"""
+
+
 # Exactly 50 entries = the driver's whole hard-gate window. Priority:
 # queries with NO prior driver CORRECTNESS row AND the fewest replays
 # lead — the round-5 wave-3..10 additions alongside the
